@@ -1,0 +1,157 @@
+"""Scattering and BRDF math (reference: SimulationCommon.cginc:95-385).
+
+All functions are batched over photons and branch-free: every material case
+is computed and the result selected by mask, which is the natural TPU
+expression of the reference's per-thread divergent branches.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.sampling import sample_lut
+
+TWO_PI = 2.0 * jnp.pi
+
+
+def cross2d(a: jax.Array, b: jax.Array) -> jax.Array:
+    """dot(a, (-b.y, b.x)) (LitboxCommon.cginc:94-97)."""
+    return a[..., 0] * -b[..., 1] + a[..., 1] * b[..., 0]
+
+
+def perp(v: jax.Array) -> jax.Array:
+    """(-y, x) rotation by +90 degrees."""
+    return jnp.stack([-v[..., 1], v[..., 0]], axis=-1)
+
+
+def unit_from_angle(theta: jax.Array) -> jax.Array:
+    return jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
+
+
+def scatter_mie(mie_lut: jax.Array, incoming: jax.Array, u: jax.Array) -> jax.Array:
+    """Rotate `incoming` by a Mie-LUT-sampled angle (SimulationCommon.cginc:95-101).
+
+    Note the reference's perpendicular here is (y, -x) (perp.x *= -1 after yx
+    swizzle), the opposite handedness from ScatterImportanceLobed.
+    """
+    s = sample_lut(mie_lut, u)
+    p = jnp.stack([incoming[..., 1], -incoming[..., 0]], axis=-1)
+    return s[..., 0:1] * incoming + s[..., 1:2] * p
+
+
+def scatter_importance_lobed(teardrop_lut: jax.Array, origin: jax.Array,
+                             target: jax.Array, u: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Teardrop lobe toward `target` (SimulationCommon.cginc:103-118).
+
+    Returns (direction (..., 2), inverse-density weight). The base direction
+    points away from the target; the teardrop pdf peaks at +-pi, folding the
+    samples back toward it.
+    """
+    d = target - origin
+    lsq = jnp.sum(d * d, axis=-1, keepdims=True)
+    base = -d / jnp.sqrt(jnp.maximum(lsq, 1e-12))
+    s = sample_lut(teardrop_lut, u)
+    direction = base * s[..., 0:1] + perp(base) * s[..., 1:2]
+    return direction, s[..., 2]
+
+
+def _hermite_weights(u: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Cubic Hermite basis (SimulationCommon.cginc:270-281)."""
+    uu = u * u
+    uuu = uu * u
+    return (2 * uuu - 3 * uu + 1, uuu - 2 * uu + u, -2 * uuu + 3 * uu, uuu - uu)
+
+
+def sample_brdf(brdf_lut: jax.Array, normal: jax.Array, reflected: jax.Array,
+                roughness: jax.Array, u: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """GGX BRDF LUT sample with Hermite interpolation along the random axis
+    (StandardBRDF, SimulationCommon.cginc:294-339).
+
+    brdf_lut: (NI, NJ, NK, 4) from core.luts.brdf_lut.
+    Returns (unit direction (..., 2), energy scale weight^2).
+    """
+    ni, nj, nk = brdf_lut.shape[:3]
+    v = (cross2d(normal, reflected) + 1.0) / 2.0
+    tangent = perp(normal)
+
+    x = jnp.clip(u, 0.0, 1.0) * (ni - 1)
+    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, ni - 2)
+    f = x - i0.astype(x.dtype)
+
+    jx = jnp.clip(v, 0.0, 1.0) * (nj - 1)
+    j0 = jnp.clip(jnp.floor(jx).astype(jnp.int32), 0, max(nj - 2, 0))
+    jf = (jx - j0.astype(jx.dtype))[..., None]
+    kx = jnp.clip(roughness, 0.0, 1.0) * (nk - 1)
+    k0 = jnp.clip(jnp.floor(kx).astype(jnp.int32), 0, max(nk - 2, 0))
+    kf = (kx - k0.astype(kx.dtype))[..., None]
+
+    def fetch(ii):
+        v00 = brdf_lut[ii, j0, k0]
+        v10 = brdf_lut[ii, jnp.minimum(j0 + 1, nj - 1), k0]
+        v01 = brdf_lut[ii, j0, jnp.minimum(k0 + 1, nk - 1)]
+        v11 = brdf_lut[ii, jnp.minimum(j0 + 1, nj - 1), jnp.minimum(k0 + 1, nk - 1)]
+        return ((v00 * (1 - jf) + v10 * jf) * (1 - kf)
+                + (v01 * (1 - jf) + v11 * jf) * kf)
+
+    s1 = fetch(i0)
+    s2 = fetch(i0 + 1)
+    t1 = jnp.stack([-s1[..., 1], s1[..., 0], jnp.zeros_like(s1[..., 0]),
+                    jnp.zeros_like(s1[..., 0])], -1) * s1[..., 2:3]
+    t2 = jnp.stack([-s2[..., 1], s2[..., 0], jnp.zeros_like(s2[..., 0]),
+                    jnp.zeros_like(s2[..., 0])], -1) * s2[..., 2:3]
+
+    h0, h1, h2, h3 = _hermite_weights(f)
+    scattered = (s1 * h0[..., None] + t1 * h1[..., None]
+                 + s2 * h2[..., None] + t2 * h3[..., None])
+
+    direction = scattered[..., 0:1] * normal + scattered[..., 1:2] * tangent
+    direction = direction / jnp.sqrt(jnp.sum(direction**2, -1, keepdims=True) + 1e-20)
+    return direction, scattered[..., 3] ** 2
+
+
+def scatter_materially(brdf_lut: jax.Array, normal4: jax.Array, incoming: jax.Array,
+                       rand3: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Material dispatch at a bounce point (SimulationCommon.cginc:341-379).
+
+    normal4: (..., 4) sampled normal+alignment field. rand3: (..., 3) uniforms.
+    Returns (new_direction, energy_scale, origin_pushback) where pushback is
+    the -2.5 * incoming offset the mirror/BRDF branch applies to the origin.
+
+    Branch map (all computed, mask-selected):
+      no normal (|n|^2 < 1e-5)     -> uniform direction, scale 1
+      normal aligned with incoming -> transmit-as-bounce (direction kept)
+      alignment' > 0.999           -> perfect mirror
+      alignment' == 0              -> uniform hemisphere about the normal
+      else                         -> BRDF LUT sample, scale weight^2
+    """
+    eps = 1e-5
+    n2 = normal4[..., :2]
+    alignment = normal4[..., 3]
+    len2 = jnp.sum(n2 * n2, axis=-1)
+
+    no_normal = len2 < eps
+    transmit = jnp.sum(n2 * incoming, axis=-1) > 0
+
+    length = jnp.sqrt(jnp.maximum(len2, 1e-20))
+    nhat = n2 / length[..., None]
+    reflected = incoming - 2.0 * jnp.sum(incoming * nhat, -1, keepdims=True) * nhat
+    align = jnp.clip(alignment / length, 0.0, 1.0)
+
+    uniform_dir = unit_from_angle(rand3[..., 0] * TWO_PI)
+    hemi = jnp.where((jnp.sum(uniform_dir * nhat, -1) > 0)[..., None], uniform_dir, -uniform_dir)
+    brdf_dir, brdf_scale = sample_brdf(brdf_lut, nhat, reflected, 1.0 - align, rand3[..., 1])
+
+    mirror = align > 0.999
+    diffuse = align == 0.0
+
+    refl_branch_dir = jnp.where(mirror[..., None], reflected,
+                                jnp.where(diffuse[..., None], hemi, brdf_dir))
+    refl_branch_scale = jnp.where(mirror | diffuse, 1.0, brdf_scale)
+
+    direction = jnp.where(no_normal[..., None], uniform_dir,
+                          jnp.where(transmit[..., None], incoming, refl_branch_dir))
+    scale = jnp.where(no_normal | transmit, 1.0, refl_branch_scale)
+    pushback = jnp.where((no_normal | transmit)[..., None],
+                         jnp.zeros_like(incoming), -incoming * 2.5)
+    return direction, scale, pushback
