@@ -1,0 +1,267 @@
+"""Simulation frame loop (reference: Assets/Scripts/Simulation/Simulation.cs).
+
+Dual-tracer driver: two independent tracer instances per frame purely to
+estimate temporal variance (Simulation.cs:78), realtime vs reference modes,
+profile loading, dirty-scene invalidation, convergence-threshold stopping,
+importance-map refresh scheduling, and perf counters. The data-dependent
+"run until converged" loop stays host-side with a scalar readback every
+`measurement_interval` frames (mirroring the async GPU readback pattern,
+Simulation.cs:434-438, 469-493) while every per-frame kernel is jitted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import GBuffer, SimulationProfile
+from ..post.tracer_post import compute_cv_and_mips, importance_pyramid, measure_convergence
+from ..scene.gbuffer import rasterize
+from ..scene.scene import Scene
+from ..sim.tracers import HybridTracer, LightTransportTracer
+
+
+class Strategy(enum.Enum):
+    LIGHT_TRANSPORT = "light_transport"
+    HYBRID = "hybrid"
+
+
+class Mode(enum.Enum):
+    REALTIME = "realtime"
+    REFERENCE = "reference"
+
+
+@dataclasses.dataclass
+class Simulation:
+    width: int = 256
+    height: int = 256
+    strategy: Strategy = Strategy.LIGHT_TRANSPORT
+    mode: Mode = Mode.REALTIME
+    rays_per_frame: int = 65536
+    photon_bounces: int = -1
+    integration_interval: float = 0.1
+    frame_limit: int = -1
+    convergence_threshold: float = -1.0
+    measurement_interval: int = 100
+    seed: int = 0
+
+    def __post_init__(self):
+        self._tracers = None
+        self._strategy_built = None
+        self._scene: Scene | None = None
+        self._gbuffer: GBuffer | None = None
+        self._dirty = True
+        self._scene_id = 0
+        self.iterations_since_clear = 0
+        self.has_converged = False
+        self.convergence_progress = -1.0
+        self.convergence_start_time = 0.0
+        self.simulation_output_hdr = None
+        self.variance_map = None
+        self.importance_map = None
+        self.photon_writes_per_second = 0.0
+        self._last_perf = None
+        self.on_step: list[Callable[[int], None]] = []
+        self.on_converged: list[Callable[[], None]] = []
+        self.on_convergence_update: list[Callable[[float], None]] = []
+        self._key = jax.random.key(self.seed)
+
+    # ----- scene management -----
+
+    def set_scene(self, scene: Scene):
+        self._scene = scene
+        self.invalidate()
+
+    def invalidate(self):
+        """Mark the scene dirty (reference: ChangeManager-driven
+        OnInvalidated('dirtyFrame'), Simulation.cs:122-131)."""
+        self._dirty = True
+
+    def load_profile(self, profile: SimulationProfile):
+        """Apply a run profile (Simulation.cs:133-141)."""
+        self.frame_limit = profile.frame_limit
+        self.rays_per_frame = profile.rays_per_frame
+        self.integration_interval = profile.integration_interval
+        self.photon_bounces = profile.photon_bounces
+        self.has_converged = False
+        self.iterations_since_clear = 0
+        self._dirty = True
+
+    @property
+    def gbuffer(self) -> GBuffer | None:
+        return self._gbuffer
+
+    @property
+    def tracer_a(self):
+        return self._tracers[0]
+
+    @property
+    def tracer_b(self):
+        return self._tracers[1]
+
+    @property
+    def is_running(self) -> bool:
+        if self.frame_limit != -1:
+            return self.iterations_since_clear < self.frame_limit
+        return not self.has_converged
+
+    # ----- internals -----
+
+    def _validate_tracers(self):
+        if self._strategy_built != self.strategy:
+            cls = LightTransportTracer if self.strategy == Strategy.LIGHT_TRANSPORT else HybridTracer
+            self._tracers = [cls(), cls()]
+            self._strategy_built = self.strategy
+            self._dirty = True
+        for t in self._tracers:
+            t.forward.integration_interval = self.integration_interval
+            t.forward.rays_to_emit = self.rays_per_frame
+            t.forward.override_bounce_count = (
+                None if self.photon_bounces == -1 else self.photon_bounces)
+            t.forward.max_bounces = self._max_bounces()
+            if isinstance(t, HybridTracer):
+                t.backward.integration_interval = self.integration_interval
+
+    def _max_bounces(self) -> int:
+        if self.photon_bounces != -1:
+            return max(1, self.photon_bounces)
+        if self._scene is None:
+            return 2
+        import numpy as np
+
+        b = np.asarray(self._scene.lights.bounces)
+        act = np.asarray(self._scene.lights.active)
+        return int(max(1, (b * act).max()))
+
+    def _should_update_importance_map(self) -> bool:
+        """Refresh schedule 1/10/100 (Simulation.cs:368-373).
+
+        Deviation from the reference: the map is also generated on the very
+        first iteration. The reference checks after the counter increment so
+        its `iterations == 0` branch is unreachable and its hybrid backward
+        pass silently no-ops until frame 10 (BackwardMonteCarlo.cs Integrate's
+        ImportanceMap null guard); generating at frame 1 removes that wart
+        without changing converged results.
+        """
+        i = self.iterations_since_clear
+        if i <= 1:
+            return True
+        if i < 100:
+            return i % 10 == 0
+        return i % 100 == 0
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ----- frame loop -----
+
+    def step(self):
+        """One simulation frame (reference: Update + LateUpdate,
+        Simulation.cs:323-467)."""
+        if self._scene is None:
+            raise RuntimeError("step() called with no scene set")
+        self._validate_tracers()
+
+        if self.mode == Mode.REALTIME or self._dirty or self._gbuffer is None:
+            self._gbuffer = rasterize(self._scene, self.height, self.width)
+            if self._dirty or self.mode == Mode.REALTIME:
+                self.has_converged = False
+                self.iterations_since_clear = 0
+                self._scene_id += 1
+                self._dirty = False
+
+        if not self.is_running:
+            return
+
+        if self.iterations_since_clear == 0:
+            self.convergence_progress = -1.0
+            self.convergence_start_time = time.monotonic()
+            for t in self._tracers:
+                t.gbuffer = self._gbuffer
+                t.new_scene()
+
+        self.iterations_since_clear += 1
+
+        for t in self._tracers:
+            t.begin_trace(self._scene, self._next_key())
+
+        if (all(t.early_radiance is not None for t in self._tracers)
+                and self._should_update_importance_map()):
+            self.importance_map = importance_pyramid(
+                self._tracers[0].early_radiance, self._tracers[1].early_radiance)
+
+        for t in self._tracers:
+            t.end_trace(self.importance_map, self._next_key())
+
+        mean, cv, _ = compute_cv_and_mips(
+            self._tracers[0].tracer_output, self._tracers[1].tracer_output)
+        self.simulation_output_hdr = mean
+        self.variance_map = cv
+
+        for cb in self.on_step:
+            cb(self.iterations_since_clear)
+
+        fire_converged = False
+        if self.frame_limit != -1 and self.iterations_since_clear >= self.frame_limit:
+            self.has_converged = True
+            fire_converged = True
+
+        if (self.measurement_interval
+                and self.iterations_since_clear % self.measurement_interval == 0
+                or (self.iterations_since_clear == 1 and self.convergence_threshold > 0)):
+            self._measure_convergence(initial=self.iterations_since_clear == 1)
+
+        if fire_converged:
+            for cb in self.on_converged:
+                cb()
+
+    def _measure_convergence(self, initial: bool):
+        if self.has_converged:
+            return
+        self.convergence_progress = float(measure_convergence(self.variance_map))
+        for cb in self.on_convergence_update:
+            cb(self.convergence_progress)
+        if not initial and 0 < self.convergence_threshold > self.convergence_progress:
+            self.has_converged = True
+            for cb in self.on_converged:
+                cb()
+
+    def run(self, max_frames: int | None = None):
+        """Drive until converged / frame limit (host-side while loop around
+        the jitted frame, per SURVEY.md section 7 'hard parts')."""
+        frames = 0
+        while self.is_running:
+            self.step()
+            frames += 1
+            if max_frames is not None and frames >= max_frames:
+                break
+            if self.mode == Mode.REALTIME and self.frame_limit == -1:
+                break  # realtime frames are independent; caller drives the loop
+        return self.simulation_output_hdr
+
+    def update_performance_metrics(self):
+        """MWrites/s counter (Simulation.cs:440-461, ITracer perf metrics)."""
+        now = time.monotonic()
+        total_writes = sum(t.forward_write_count for t in self._tracers)
+        if self._last_perf is not None:
+            dt = now - self._last_perf[0]
+            if dt > 0:
+                self.photon_writes_per_second = (total_writes - self._last_perf[1]) / dt
+        self._last_perf = (now, total_writes)
+
+    @property
+    def estimated_convergence_time(self) -> float:
+        if self.convergence_threshold <= 0 or self.convergence_progress <= 0:
+            return float("inf")
+        elapsed = time.monotonic() - self.convergence_start_time
+        return elapsed * self.convergence_progress / self.convergence_threshold
+
+    @property
+    def estimated_remaining_convergence_time(self) -> float:
+        return self.estimated_convergence_time - (time.monotonic() - self.convergence_start_time)

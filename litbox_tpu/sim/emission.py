@@ -92,9 +92,18 @@ def emit(lights: Lights, field_textures: jax.Array, l_idx: jax.Array,
     field_uv = r[:, 0:2]
     field_origin = affine_apply(aff, field_uv * 2 - 1)
     field_dir = point_dir
-    tex = jax.vmap(
-        lambda ti, uv: sample_bilinear_uv_dynamic(field_textures, ti, uv)
-    )(lights.tex_index[l_idx], field_uv)
+    # Per-photon texture selection via a vertical atlas: stack tiles along v
+    # and offset each photon's v by its tile index (clamped half a texel
+    # inside the tile to prevent cross-tile bleeding). This avoids a
+    # per-photon dynamic texture gather that would materialize (N, FH, FW, 4).
+    n_tiles, fh = field_textures.shape[0], field_textures.shape[1]
+    atlas = field_textures.reshape((n_tiles * fh,) + field_textures.shape[2:])
+    half_v = 0.5 / fh
+    tile = lights.tex_index[l_idx].astype(jnp.float32)
+    atlas_uv = jnp.stack(
+        [field_uv[:, 0],
+         (tile + jnp.clip(field_uv[:, 1], half_v, 1.0 - half_v)) / n_tiles], -1)
+    tex = sample_bilinear_uv(atlas, atlas_uv)
     field_energy_mod = tex[:, :3] * jnp.maximum(tex[:, 3:4] - 0.08, 0.0)
 
     # --- Directional (:282-294): parallel rays entering the frame ---
@@ -128,9 +137,3 @@ def emit(lights: Lights, field_textures: jax.Array, l_idx: jax.Array,
 
     bounces = jnp.where(override_bounces >= 0, override_bounces, lights.bounces[l_idx])
     return origin, direction, energy, bounces
-
-
-def sample_bilinear_uv_dynamic(stack: jax.Array, index: jax.Array, uv: jax.Array) -> jax.Array:
-    """Bilinear sample from stack[index] for a single uv (vmapped by caller)."""
-    tex = jax.lax.dynamic_index_in_dim(stack, index, axis=0, keepdims=False)
-    return sample_bilinear_uv(tex, uv)

@@ -1,0 +1,178 @@
+"""Tracer orchestration (reference: Assets/Scripts/Simulation/ITracer.cs,
+LightTransportTracer.cs, HybridTracer.cs, ForwardMonteCarlo.cs,
+BackwardMonteCarlo.cs).
+
+Host-side objects owning device-array accumulators and calling the jitted
+kernels. Two tracer strategies:
+
+  LightTransportTracer — forward-only, outscatter finalized in HDR output.
+  HybridTracer         — forward pass (outscatter NOT finalized) feeds the
+                         backward per-pixel gather; output is the backward
+                         accumulation (HybridTracer.cs:17-21, 96-101).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import luts
+from ..core.types import GBuffer
+from .backward import backward_gather
+from .oracle import to_hdr, trace_frame
+
+
+class ForwardIntegrator:
+    """Forward Monte Carlo host (reference: ForwardMonteCarlo.cs)."""
+
+    def __init__(self, finalize_outscatter: bool = True, bilinear_writes: bool = True):
+        self.finalize_outscatter = finalize_outscatter
+        self.bilinear_writes = bilinear_writes
+        self.integration_interval = 0.2
+        self.rays_to_emit = 65536
+        self.override_bounce_count: int | None = None
+        self.max_bounces = 4
+        self.gbuffer: GBuffer | None = None
+        self.iterations_since_clear = 0
+        self.write_count = 0
+        self._accum = None
+        self._brdf = jnp.asarray(luts.brdf_lut())
+
+    @property
+    def interval_texels(self) -> float:
+        # ForwardMonteCarlo.cs:242 (per-dispatch value; the max(1,..) branch).
+        return max(1.0, self.integration_interval * self.gbuffer.height)
+
+    def clear(self):
+        self.iterations_since_clear = 0
+        self.write_count = 0
+        self._accum = None
+
+    def integrate(self, scene, key) -> jax.Array:
+        gb = self.gbuffer
+        if self._accum is None:
+            self._accum = jnp.zeros((gb.height, gb.width, 3))
+        self.iterations_since_clear += 1
+        override = -1 if self.override_bounce_count is None else int(self.override_bounce_count)
+        raw, wc = trace_frame(
+            gb, scene.lights, scene.field_textures, self._brdf, key,
+            self.rays_to_emit, float(self.interval_texels), jnp.int32(override),
+            max_bounces=self.max_bounces, bilinear=self.bilinear_writes)
+        self._accum = self._accum + raw
+        self.write_count += int(wc)
+        return self.output_hdr
+
+    @property
+    def output_hdr(self) -> jax.Array:
+        if self._accum is None:
+            return jnp.zeros((self.gbuffer.height, self.gbuffer.width, 3))
+        return to_hdr(self._accum, jnp.float32(self.iterations_since_clear),
+                      self.gbuffer, self.finalize_outscatter)
+
+
+class BackwardIntegrator:
+    """Backward gather host (reference: BackwardMonteCarlo.cs)."""
+
+    def __init__(self):
+        self.integration_interval = 0.2
+        self.gbuffer: GBuffer | None = None
+        self.importance_target_uv = (0.5, 0.5)
+        self._teardrop = jnp.asarray(luts.teardrop_scattering_lut(3.0))
+        self._accum = None
+        self.frame_count = 0
+
+    def clear(self):
+        self._accum = None
+        self.frame_count = 0
+
+    def integrate(self, forward_hdr: jax.Array, key) -> jax.Array:
+        gb = self.gbuffer
+        interval = max(0.01, self.integration_interval * gb.height)
+        sample = backward_gather(gb, forward_hdr, self._teardrop, key,
+                                 jnp.float32(interval), self.importance_target_uv)
+        if self._accum is None:
+            self._accum = jnp.zeros_like(sample)
+        self._accum = self._accum + sample
+        self.frame_count += 1
+        return self.output
+
+    @property
+    def output(self) -> jax.Array:
+        if self._accum is None or self.frame_count == 0:
+            return jnp.zeros((self.gbuffer.height, self.gbuffer.width, 3))
+        return self._accum / self.frame_count
+
+
+class LightTransportTracer:
+    """Forward-only strategy (reference: LightTransportTracer.cs)."""
+
+    def __init__(self):
+        self.forward = ForwardIntegrator(finalize_outscatter=True)
+
+    @property
+    def gbuffer(self):
+        return self.forward.gbuffer
+
+    @gbuffer.setter
+    def gbuffer(self, gb):
+        self.forward.gbuffer = gb
+
+    @property
+    def early_radiance(self):
+        return None
+
+    @property
+    def tracer_output(self):
+        return self.forward.output_hdr
+
+    @property
+    def forward_write_count(self):
+        return self.forward.write_count
+
+    def new_scene(self):
+        self.forward.clear()
+
+    def begin_trace(self, scene, key):
+        self.forward.integrate(scene, key)
+
+    def end_trace(self, importance_map=None, key=None):
+        pass
+
+
+class HybridTracer:
+    """Forward feeds per-pixel backward gather (reference: HybridTracer.cs)."""
+
+    def __init__(self):
+        self.forward = ForwardIntegrator(finalize_outscatter=False)
+        self.backward = BackwardIntegrator()
+
+    @property
+    def gbuffer(self):
+        return self.forward.gbuffer
+
+    @gbuffer.setter
+    def gbuffer(self, gb):
+        self.forward.gbuffer = gb
+        self.backward.gbuffer = gb
+
+    @property
+    def early_radiance(self):
+        return self.forward.output_hdr
+
+    @property
+    def tracer_output(self):
+        return self.backward.output
+
+    @property
+    def forward_write_count(self):
+        return self.forward.write_count
+
+    def new_scene(self):
+        self.forward.clear()
+        self.backward.clear()
+
+    def begin_trace(self, scene, key):
+        self.forward.integrate(scene, key)
+
+    def end_trace(self, importance_map=None, key=None):
+        self.backward.integrate(self.forward.output_hdr, key)
