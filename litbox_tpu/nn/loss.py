@@ -1,0 +1,83 @@
+"""Training losses (reference: litbox_loss.py).
+
+HdrLoss: adaptive-weighted L2 + Sobel gradient L1 + plain L1
+(litbox_loss.py:8-75), production coefficients alpha=1.5, beta=0.4,
+gamma=0.2, base_weight=0.5 (train_litbox_denoiser.py:44-47,179).
+SSIM is provided for evaluation parity (litbox_loss.py:156-198).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+SOBEL_X = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
+SOBEL_Y = jnp.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], jnp.float32)
+
+
+def _depthwise3x3(x: jax.Array, k: jax.Array) -> jax.Array:
+    """'same' depthwise 3x3 correlation over NHWC."""
+    c = x.shape[-1]
+    kernel = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+
+
+@dataclasses.dataclass(frozen=True)
+class HdrLossConfig:
+    alpha: float = 1.5        # bright-pixel weight exponent
+    beta: float = 0.4         # gradient term weight
+    gamma: float = 0.2        # plain L1 weight
+    base_weight: float = 0.5  # dark bias
+
+
+def hdr_loss(pred: jax.Array, target: jax.Array,
+             cfg: HdrLossConfig = HdrLossConfig()) -> jax.Array:
+    weights = (target + cfg.base_weight) ** cfg.alpha
+    adaptive_l2 = jnp.mean(weights * (pred - target) ** 2)
+
+    gx_p = _depthwise3x3(pred, SOBEL_X)
+    gy_p = _depthwise3x3(pred, SOBEL_Y)
+    gx_t = _depthwise3x3(target, SOBEL_X)
+    gy_t = _depthwise3x3(target, SOBEL_Y)
+    gradient = jnp.mean(jnp.abs(gx_p - gx_t)) + jnp.mean(jnp.abs(gy_p - gy_t))
+
+    l1 = jnp.mean(jnp.abs(pred - target))
+    return adaptive_l2 + cfg.beta * gradient + cfg.gamma * l1
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jax.Array:
+    x = jnp.arange(size, dtype=jnp.float32) - size // 2
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    g = g / g.sum()
+    return g[:, None] * g[None, :]
+
+
+def ssim(a: jax.Array, b: jax.Array, window_size: int = 11) -> jax.Array:
+    """Mean SSIM over NHWC batches (litbox_loss.py:156-198)."""
+    w = _gaussian_window(window_size)
+    mu_a = _conv_win(a, w)
+    mu_b = _conv_win(b, w)
+    mu_a2, mu_b2, mu_ab = mu_a**2, mu_b**2, mu_a * mu_b
+    s_a = _conv_win(a * a, w) - mu_a2
+    s_b = _conv_win(b * b, w) - mu_b2
+    s_ab = _conv_win(a * b, w) - mu_ab
+    c1, c2 = 0.01**2, 0.03**2
+    out = ((2 * mu_ab + c1) * (2 * s_ab + c2)) / ((mu_a2 + mu_b2 + c1) * (s_a + s_b + c2))
+    return out.mean()
+
+
+def _conv_win(x: jax.Array, w: jax.Array) -> jax.Array:
+    c = x.shape[-1]
+    kernel = jnp.tile(w[:, :, None, None], (1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+
+
+def psnr(a: jax.Array, b: jax.Array, peak: float = 1.0) -> jax.Array:
+    mse = jnp.mean((a - b) ** 2)
+    return 10.0 * jnp.log10(peak**2 / jnp.maximum(mse, 1e-12))
