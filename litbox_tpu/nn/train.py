@@ -1,0 +1,172 @@
+"""Denoiser training loop (reference: train_litbox_denoiser.py).
+
+Curriculum stages over input sets, Adam with torch-style (coupled) weight
+decay 0.01 and lr 1e-5 (train_litbox_denoiser.py:183-186), per-batch random
+channel selection (the declared intent of :102-113,231-237 — the reference
+file's version has live bugs there which are not replicated), HdrLoss, and
+wall-clock checkpointing every `checkpoint_interval` seconds with golden
+evaluation (:256-268).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from .dataset import DenoiserDataset
+from .loss import HdrLossConfig, hdr_loss
+from .unet import LitboxDenoiserNet, TransformConfig, post_transform, pre_transform
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    unet_size: int = 5
+    initial_features: int = 32
+    padding_mode: str = "reflect"
+    use_sigmoid: bool = False
+    learn_rate: float = 1e-5
+    weight_decay: float = 0.01
+    batch_size: int = 4
+    epochs: int = 20
+    crop_size: int = 256
+    checkpoint_interval: float = 900.0
+    loss: HdrLossConfig = dataclasses.field(default_factory=HdrLossConfig)
+    transform: TransformConfig = dataclasses.field(default_factory=TransformConfig)
+    seed: int = 0
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        self.model = LitboxDenoiserNet(
+            unet_size=cfg.unet_size, initial_features=cfg.initial_features,
+            padding_mode=cfg.padding_mode, use_sigmoid=cfg.use_sigmoid)
+        key = jax.random.key(cfg.seed)
+        dummy = jnp.zeros((1, cfg.crop_size, cfg.crop_size, 1))
+        variables = self.model.init(key, dummy, train=False)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        # torch Adam(weight_decay=) couples the decay into the gradient
+        # (not AdamW): add_decayed_weights BEFORE the adam transform.
+        self.tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.adam(cfg.learn_rate),
+        )
+        self.opt_state = self.tx.init(self.params)
+        self._step = self._build_step()
+        self.global_step = 0
+
+    def _build_step(self):
+        model, cfg, tx = self.model, self.cfg, self.tx
+
+        @jax.jit
+        def step(params, batch_stats, opt_state, inputs, targets):
+            def loss_fn(p):
+                x, stats = pre_transform(inputs, cfg.transform)
+                out, updates = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, x, train=True,
+                    mutable=["batch_stats"])
+                pred = post_transform(out, stats, cfg.transform)
+                return hdr_loss(pred, targets, cfg.loss), updates["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt_state, loss
+
+        return step
+
+    @staticmethod
+    def select_random_channel(batch: dict, rng: np.random.Generator):
+        """Same random channel for input and target per item
+        (train_litbox_denoiser.py:102-113)."""
+        n = batch["input_a"].shape[0]
+        c = rng.integers(0, 3, n)
+        idx = np.arange(n)
+        inputs = batch["input_a"][idx, :, :, c][..., None]
+        targets = batch["reference"][idx, :, :, c][..., None]
+        return jnp.asarray(inputs), jnp.asarray(targets)
+
+    def train_batch(self, inputs, targets) -> float:
+        self.params, self.batch_stats, self.opt_state, loss = self._step(
+            self.params, self.batch_stats, self.opt_state, inputs, targets)
+        self.global_step += 1
+        return float(loss)
+
+    def fit(self, curriculum: list[tuple[str, DenoiserDataset]],
+            checkpoint_folder: str | None = None,
+            on_checkpoint: Callable[[str], None] | None = None,
+            log_every: float = 10.0, max_steps: int | None = None) -> list[dict]:
+        """Run the full curriculum; returns the loss log
+        (CSV-ish stdout parity: train_litbox_denoiser.py:248-251)."""
+        rng = np.random.default_rng(self.cfg.seed)
+        start = time.time()
+        last_print = start
+        last_checkpoint = start
+        log = []
+        for name, dataset in curriculum:
+            for epoch in range(self.cfg.epochs):
+                for batch in dataset.batches(self.cfg.batch_size, rng, shuffle=False):
+                    inputs, targets = self.select_random_channel(batch, rng)
+                    loss = self.train_batch(inputs, targets)
+                    now = time.time()
+                    if now - last_print >= log_every:
+                        entry = dict(elapsed=now - start, curriculum=name,
+                                     epoch=epoch, step=self.global_step, loss=loss)
+                        print("{elapsed:.2f},{curriculum},{epoch},{step},{loss:.6f}".format(**entry))
+                        log.append(entry)
+                        last_print = now
+                    if (checkpoint_folder
+                            and now - last_checkpoint >= self.cfg.checkpoint_interval):
+                        cdir = os.path.join(checkpoint_folder, str(int(now - start)))
+                        self.save(os.path.join(cdir, "model.msgpack"))
+                        if on_checkpoint:
+                            on_checkpoint(cdir)
+                        last_checkpoint = time.time()
+                    if max_steps is not None and self.global_step >= max_steps:
+                        return log
+        return log
+
+    # ----- checkpointing (reference: torch.save / .pth; here msgpack) -----
+
+    def save(self, path: str):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        blob = serialization.to_bytes({"params": self.params,
+                                       "batch_stats": self.batch_stats,
+                                       "opt_state": self.opt_state})
+        with open(path, "wb") as f:
+            f.write(blob)
+        with open(path + ".json", "w") as f:
+            json.dump(dataclasses.asdict(self.cfg), f, default=str)
+
+    def load(self, path: str):
+        with open(path, "rb") as f:
+            blob = f.read()
+        tmpl = {"params": self.params, "batch_stats": self.batch_stats,
+                "opt_state": self.opt_state}
+        restored = serialization.from_bytes(tmpl, blob)
+        self.params = restored["params"]
+        self.batch_stats = restored["batch_stats"]
+        self.opt_state = restored["opt_state"]
+
+    def eval_fn(self) -> Callable[[Any], Any]:
+        """Jitted single-channel forward in eval mode."""
+        model, cfg = self.model, self.cfg
+
+        @jax.jit
+        def run(params, batch_stats, x):
+            xin, stats = pre_transform(x, cfg.transform)
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              xin, train=False)
+            return post_transform(out, stats, cfg.transform)
+
+        return lambda x: run(self.params, self.batch_stats, x)
