@@ -49,6 +49,7 @@ class Simulation:
     convergence_threshold: float = -1.0
     measurement_interval: int = 100
     seed: int = 0
+    engine: str = "rbt"  # 'rbt' (production) or 'oracle' (reference semantics)
 
     def __post_init__(self):
         self._tracers = None
@@ -113,10 +114,10 @@ class Simulation:
     # ----- internals -----
 
     def _validate_tracers(self):
-        if self._strategy_built != self.strategy:
+        if self._strategy_built != (self.strategy, self.engine):
             cls = LightTransportTracer if self.strategy == Strategy.LIGHT_TRANSPORT else HybridTracer
-            self._tracers = [cls(), cls()]
-            self._strategy_built = self.strategy
+            self._tracers = [cls(engine=self.engine), cls(engine=self.engine)]
+            self._strategy_built = (self.strategy, self.engine)
             self._dirty = True
         for t in self._tracers:
             t.forward.integration_interval = self.integration_interval

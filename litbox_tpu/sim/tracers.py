@@ -20,6 +20,7 @@ from ..core import luts
 from ..core.types import GBuffer
 from .backward import backward_gather
 from .oracle import to_hdr, trace_frame
+from .rbt import precompute_rotated_fields, rbt_trace_frame, resolve_raw
 
 
 class ForwardIntegrator:
@@ -70,6 +71,67 @@ class ForwardIntegrator:
                       self.gbuffer, self.finalize_outscatter)
 
 
+class RBTForwardIntegrator(ForwardIntegrator):
+    """Forward integrator backed by the rotated-bin transport engine
+    (sim/rbt.py) — the production TPU path. Same interface/normalization as
+    ForwardIntegrator; the per-bin source accumulator replaces the raw
+    deposit map and is resolved (scan + rotate-back) lazily on output."""
+
+    def __init__(self, finalize_outscatter: bool = True, bilinear_writes: bool = True,
+                 n_bins: int = 128):
+        self.n_bins = n_bins
+        self._fields = None
+        self._src = None
+        self._resolved = None
+        self._gbuffer = None
+        super().__init__(finalize_outscatter, bilinear_writes)
+
+    @property
+    def gbuffer(self):
+        return self._gbuffer
+
+    @gbuffer.setter
+    def gbuffer(self, gb):
+        if gb is not self._gbuffer:
+            self._gbuffer = gb
+            self._fields = None  # rotated fields are scene-dependent
+        if gb is None:
+            self._fields = None
+
+    def clear(self):
+        super().clear()
+        self._src = None
+        self._resolved = None
+
+    def integrate(self, scene, key) -> jax.Array:
+        gb = self.gbuffer
+        if self._fields is None:
+            self._fields = precompute_rotated_fields(gb, n_bins=self.n_bins)
+            self._src = None
+        if self._src is None:
+            s = self._fields.size
+            self._src = jnp.zeros((self.n_bins, s, s, 3))
+        self.iterations_since_clear += 1
+        override = -1 if self.override_bounce_count is None else int(self.override_bounce_count)
+        self._src, n = rbt_trace_frame(
+            self._fields, self._src, gb, scene.lights, scene.field_textures,
+            self._brdf, key, self.rays_to_emit, jnp.int32(override),
+            max_bounces=self.max_bounces)
+        self.write_count += int(n)
+        self._resolved = None
+        return self.output_hdr
+
+    @property
+    def output_hdr(self) -> jax.Array:
+        gb = self.gbuffer
+        if self._src is None:
+            return jnp.zeros((gb.height, gb.width, 3))
+        if self._resolved is None:
+            self._resolved = resolve_raw(self._fields, self._src, gb.height, gb.width)
+        return to_hdr(self._resolved, jnp.float32(self.iterations_since_clear),
+                      gb, self.finalize_outscatter)
+
+
 class BackwardIntegrator:
     """Backward gather host (reference: BackwardMonteCarlo.cs)."""
 
@@ -103,11 +165,19 @@ class BackwardIntegrator:
         return self._accum / self.frame_count
 
 
+def _make_forward(engine: str, finalize_outscatter: bool) -> ForwardIntegrator:
+    if engine == "rbt":
+        return RBTForwardIntegrator(finalize_outscatter=finalize_outscatter)
+    if engine == "oracle":
+        return ForwardIntegrator(finalize_outscatter=finalize_outscatter)
+    raise ValueError(f"unknown engine {engine!r} (expected 'rbt' or 'oracle')")
+
+
 class LightTransportTracer:
     """Forward-only strategy (reference: LightTransportTracer.cs)."""
 
-    def __init__(self):
-        self.forward = ForwardIntegrator(finalize_outscatter=True)
+    def __init__(self, engine: str = "rbt"):
+        self.forward = _make_forward(engine, finalize_outscatter=True)
 
     @property
     def gbuffer(self):
@@ -142,8 +212,8 @@ class LightTransportTracer:
 class HybridTracer:
     """Forward feeds per-pixel backward gather (reference: HybridTracer.cs)."""
 
-    def __init__(self):
-        self.forward = ForwardIntegrator(finalize_outscatter=False)
+    def __init__(self, engine: str = "rbt"):
+        self.forward = _make_forward(engine, finalize_outscatter=False)
         self.backward = BackwardIntegrator()
 
     @property
