@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-RAYS_PER_FRAME = 1_000_000
+RAYS_PER_FRAME = 2_000_000
+BOUNCE_RAYS = 524_288
 FRAMES = 10
 BOUNCES = 2
 RESOLUTION = 256
@@ -72,16 +73,16 @@ def main():
             src, n = rbt.rbt_trace_frame(
                 fields, src, gb, scene.lights, scene.field_textures, brdf,
                 jax.random.fold_in(key, i), RAYS_PER_FRAME, jnp.int32(-1),
-                max_bounces=BOUNCES)
+                max_bounces=BOUNCES, bounce_photons=BOUNCE_RAYS, mc_direct=False,
+                enable_brdf=False, light_kinds=(1,))
             return src, n
         src, _ = jax.lax.scan(body, src, jnp.arange(FRAMES))
-        return src[0, 0, 0, 0]
+        return src[0][0, 0, 0]
 
     rtt = measure_rtt()
-    src0 = jnp.zeros((N_BINS, s, s, 3))
-    float(run_frames(fields, src0, jax.random.key(0)))  # compile + warm
+    float(run_frames(fields, rbt.zero_sources(fields), jax.random.key(0)))  # compile + warm
 
-    src0 = jnp.zeros((N_BINS, s, s, 3))
+    src0 = rbt.zero_sources(fields)
     t0 = time.perf_counter()
     float(run_frames(fields, src0, jax.random.key(1)))
     dt = max(time.perf_counter() - t0 - rtt, 1e-6)

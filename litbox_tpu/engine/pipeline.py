@@ -1,0 +1,77 @@
+"""Fused realtime pipeline: sim -> denoise -> tonemap as one XLA program.
+
+BASELINE config 5 (the north star): trace a frame with the RBT engine,
+resolve the lightmap, convert to HDR, run the UNet denoiser over the three
+channels, and tone-map — all inside a single jit so XLA fuses the
+elementwise stages and overlaps the matmul-heavy pieces. The reference's
+analog is the (disabled) AIAccelerator ONNX path (AIAccelerator.cs:57-84)
+plus the ForceHDR camera post.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.unet import LitboxDenoiserNet, TransformConfig, post_transform, pre_transform
+from ..post.tonemap import UchimuraShape, UE5Shape, tonemap_uchimura, tonemap_ue5
+from ..sim import rbt
+from ..sim.oracle import to_hdr
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    n_photons: int = 1_000_000
+    max_bounces: int = 2
+    tonemap: str = "ue5"  # 'ue5' | 'uchimura' | 'none'
+    exposure: float = 0.0
+    denoise: bool = True
+    unet_size: int = 5
+    initial_features: int = 32
+    transform: TransformConfig = dataclasses.field(default_factory=TransformConfig)
+
+
+def make_frame_fn(cfg: PipelineConfig, gbuffer, lights, field_textures, brdf_lut,
+                  fields: rbt.RotatedFields, model_variables: Any | None = None):
+    """Build the jittable frame function.
+
+    Returns fn(src_accum, key) -> (src_accum, display_rgb, hdr). src_accum
+    threads frame-to-frame (temporal accumulation in rotated space).
+    """
+    height, width = gbuffer.transmissibility.shape
+    model = LitboxDenoiserNet(unet_size=cfg.unet_size,
+                              initial_features=cfg.initial_features)
+
+    def denoise(hdr: jax.Array) -> jax.Array:
+        if not cfg.denoise or model_variables is None:
+            return hdr
+        # Channels as batch: (3, H, W, 1) through the mono UNet.
+        x = hdr.transpose(2, 0, 1)[..., None]
+        xin, stats = pre_transform(x, cfg.transform)
+        out = model.apply(model_variables, xin, train=False)
+        out = post_transform(out, stats, cfg.transform)
+        return out[..., 0].transpose(1, 2, 0)
+
+    def tonemap(x: jax.Array) -> jax.Array:
+        x = x * (10.0 ** cfg.exposure)
+        if cfg.tonemap == "ue5":
+            return tonemap_ue5(x, UE5Shape(exposure=0.0))
+        if cfg.tonemap == "uchimura":
+            return tonemap_uchimura(x, UchimuraShape())
+        return x
+
+    @functools.partial(jax.jit, donate_argnames=("src_accum",))
+    def frame(src_accum, iterations, key):
+        src_accum, _ = rbt.rbt_trace_frame(
+            fields, src_accum, gbuffer, lights, field_textures, brdf_lut, key,
+            cfg.n_photons, jnp.int32(-1), max_bounces=cfg.max_bounces)
+        raw = rbt.resolve_raw(fields, src_accum, height, width)
+        hdr = to_hdr(raw, iterations, gbuffer, finalize_outscatter=True)
+        display = tonemap(denoise(hdr))
+        return src_accum, display, hdr
+
+    return frame

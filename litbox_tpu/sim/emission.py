@@ -49,17 +49,25 @@ def assign_photons_to_lights(lights: Lights, n_photons: int) -> tuple[jax.Array,
 
 def emit(lights: Lights, field_textures: jax.Array, l_idx: jax.Array,
          rays_per_light: jax.Array, key: jax.Array, target_size: tuple[int, int],
-         interval: jax.Array, override_bounces: jax.Array) -> tuple[jax.Array, ...]:
+         interval: jax.Array, override_bounces: jax.Array,
+         active_kinds: tuple | None = None) -> tuple[jax.Array, ...]:
     """Emit one photon per batch lane.
 
     Returns (origin (N,2), direction (N,2), energy (N,3), bounces (N,)).
     Energy folds in the reference's normalization chain: per-photon energy
     (uint.MaxValue/rays -> here (W*H)/rays) times the 1/interval adjustment
     (ForwardMonteCarlo.cs:210,242-245) and emitter-specific pdf factors.
+
+    active_kinds (static) restricts which emitters are computed: each type's
+    math is otherwise evaluated for every lane and mask-selected, and the
+    field-light texture sampling in particular costs gathers per photon.
     """
     n = l_idx.shape[0]
     height, width = target_size
     size = jnp.array([width, height], dtype=jnp.float32)
+
+    def want(k):
+        return active_kinds is None or k in active_kinds
 
     kind = lights.kind[l_idx]
     aff = lights.affine[l_idx]
@@ -92,19 +100,22 @@ def emit(lights: Lights, field_textures: jax.Array, l_idx: jax.Array,
     field_uv = r[:, 0:2]
     field_origin = affine_apply(aff, field_uv * 2 - 1)
     field_dir = point_dir
-    # Per-photon texture selection via a vertical atlas: stack tiles along v
-    # and offset each photon's v by its tile index (clamped half a texel
-    # inside the tile to prevent cross-tile bleeding). This avoids a
-    # per-photon dynamic texture gather that would materialize (N, FH, FW, 4).
-    n_tiles, fh = field_textures.shape[0], field_textures.shape[1]
-    atlas = field_textures.reshape((n_tiles * fh,) + field_textures.shape[2:])
-    half_v = 0.5 / fh
-    tile = lights.tex_index[l_idx].astype(jnp.float32)
-    atlas_uv = jnp.stack(
-        [field_uv[:, 0],
-         (tile + jnp.clip(field_uv[:, 1], half_v, 1.0 - half_v)) / n_tiles], -1)
-    tex = sample_bilinear_uv(atlas, atlas_uv)
-    field_energy_mod = tex[:, :3] * jnp.maximum(tex[:, 3:4] - 0.08, 0.0)
+    if want(LIGHT_FIELD):
+        # Per-photon texture selection via a vertical atlas: stack tiles
+        # along v and offset each photon's v by its tile index (clamped half
+        # a texel inside the tile to prevent cross-tile bleeding). Avoids a
+        # per-photon dynamic texture gather materializing (N, FH, FW, 4).
+        n_tiles, fh = field_textures.shape[0], field_textures.shape[1]
+        atlas = field_textures.reshape((n_tiles * fh,) + field_textures.shape[2:])
+        half_v = 0.5 / fh
+        tile = lights.tex_index[l_idx].astype(jnp.float32)
+        atlas_uv = jnp.stack(
+            [field_uv[:, 0],
+             (tile + jnp.clip(field_uv[:, 1], half_v, 1.0 - half_v)) / n_tiles], -1)
+        tex = sample_bilinear_uv(atlas, atlas_uv)
+        field_energy_mod = tex[:, :3] * jnp.maximum(tex[:, 3:4] - 0.08, 0.0)
+    else:
+        field_energy_mod = jnp.ones((n, 3))
 
     # --- Directional (:282-294): parallel rays entering the frame ---
     dl = affine_linear(aff, jnp.stack([jnp.zeros((n,)), -jnp.ones((n,))], -1))
@@ -120,6 +131,8 @@ def emit(lights: Lights, field_textures: jax.Array, l_idx: jax.Array,
     def sel(options: dict[int, jax.Array], default: jax.Array) -> jax.Array:
         out = default
         for k, v in options.items():
+            if not want(k):
+                continue
             out = jnp.where((kind == k)[..., None] if v.ndim == 2 else (kind == k), v, out)
         return out
 

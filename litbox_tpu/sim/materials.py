@@ -110,8 +110,31 @@ def sample_brdf(brdf_lut: jax.Array, normal: jax.Array, reflected: jax.Array,
     return direction, scattered[..., 3] ** 2
 
 
+def sample_brdf_fast(brdf_lut: jax.Array, normal: jax.Array, reflected: jax.Array,
+                     roughness: jax.Array, u: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Single-gather nearest-neighbor BRDF sample for the production tracer.
+
+    The accurate path (sample_brdf) costs 8 table gathers per photon; at
+    10^6+ photons/frame that dominates the frame (XLA TPU gathers run at
+    ~100 M/s). Nearest sampling quantizes the scatter angle to the table's
+    128 CDF steps (~1.4 deg) — below the RBT engine's angular bin width.
+    """
+    ni, nj, nk = brdf_lut.shape[:3]
+    flat = brdf_lut.reshape(ni * nj * nk, 4)
+    v = (cross2d(normal, reflected) + 1.0) / 2.0
+    i = jnp.clip(jnp.round(u * (ni - 1)).astype(jnp.int32), 0, ni - 1)
+    j = jnp.clip(jnp.round(v * (nj - 1)).astype(jnp.int32), 0, nj - 1)
+    k = jnp.clip(jnp.round(roughness * (nk - 1)).astype(jnp.int32), 0, nk - 1)
+    s = flat[(i * nj + j) * nk + k]
+    tangent = perp(normal)
+    direction = s[..., 0:1] * normal + s[..., 1:2] * tangent
+    direction = direction / jnp.sqrt(jnp.sum(direction**2, -1, keepdims=True) + 1e-20)
+    return direction, s[..., 3] ** 2
+
+
 def scatter_materially(brdf_lut: jax.Array, normal4: jax.Array, incoming: jax.Array,
-                       rand3: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+                       rand3: jax.Array, fast: bool = False,
+                       enable_brdf: bool = True) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Material dispatch at a bounce point (SimulationCommon.cginc:341-379).
 
     normal4: (..., 4) sampled normal+alignment field. rand3: (..., 3) uniforms.
@@ -140,7 +163,13 @@ def scatter_materially(brdf_lut: jax.Array, normal4: jax.Array, incoming: jax.Ar
 
     uniform_dir = unit_from_angle(rand3[..., 0] * TWO_PI)
     hemi = jnp.where((jnp.sum(uniform_dir * nhat, -1) > 0)[..., None], uniform_dir, -uniform_dir)
-    brdf_dir, brdf_scale = sample_brdf(brdf_lut, nhat, reflected, 1.0 - align, rand3[..., 1])
+    if enable_brdf:
+        brdf_fn = sample_brdf_fast if fast else sample_brdf
+        brdf_dir, brdf_scale = brdf_fn(brdf_lut, nhat, reflected, 1.0 - align, rand3[..., 1])
+    else:
+        # Statically removed when the caller knows no scene shape carries a
+        # particle-alignment (BRDF) material — hemisphere fallback.
+        brdf_dir, brdf_scale = hemi, jnp.ones_like(align)
 
     mirror = align > 0.999
     diffuse = align == 0.0

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.types import GBuffer, pytree_dataclass
+from ..core.types import LIGHT_POINT, GBuffer, pytree_dataclass
 from ..ops.resample import gather_bilinear_mxu
 from .emission import assign_photons_to_lights, emit
 from .materials import scatter_materially
@@ -99,15 +99,117 @@ def _row_extract(values: jax.Array, weights: jax.Array) -> jax.Array:
     return jnp.sum(values * weights, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("n_photons", "max_bounces"),
-                   donate_argnames=("src_accum",))
+def _inject_flat(src_accum: tuple, flat_idx: jax.Array, energy: jax.Array) -> tuple:
+    """Scatter-add photon energies at flat cell indices into the per-channel
+    source buffers (3 x (D, S, S)).
+
+    Channel-major layout keeps each scatter a contiguous in-place flat add:
+    XLA's multi-channel window scatter is ~3x slower on v5e, and channel-last
+    layout forces strided column gathers plus full-buffer restacks (~10 ms
+    per 1M updates per channel is the HBM random read-modify-write limit).
+    """
+    out = []
+    for c in range(3):
+        ch = src_accum[c]
+        out.append(ch.reshape(-1).at[flat_idx].add(energy[:, c]).reshape(ch.shape))
+    return tuple(out)
+
+
+def zero_sources(fields: RotatedFields) -> tuple:
+    """Fresh per-channel source buffers (3 x (D, S, S))."""
+    d, s = fields.n_bins, fields.size
+    return tuple(jnp.zeros((d, s, s)) for _ in range(3))
+
+
+ANALYTIC_STAMP = 16  # disk stamp width; point lights with radius > stamp/2-1 fall back to MC
+
+
+def analytic_light_mask(lights) -> jax.Array:
+    """(L,) True for lights whose wave-0 deposits are injected analytically."""
+    radius = jnp.sqrt(jnp.abs(
+        lights.affine[:, 0, 0] * lights.affine[:, 1, 1]
+        - lights.affine[:, 0, 1] * lights.affine[:, 1, 0]))
+    return ((lights.kind == LIGHT_POINT) & lights.active
+            & (radius < ANALYTIC_STAMP / 2 - 1) & (lights.bounces != 0))
+
+
+def _analytic_point_sources(src_accum: jax.Array, lights, light_mask,
+                            fields: RotatedFields, pixel_count: float):
+    """Noise-free direct-light injection for point lights.
+
+    A point light emits uniformly over a disk with isotropic directions, so
+    its EXPECTED per-bin wave-0 source field is deterministic:
+    total_energy/(2 pi D) times the disk's coverage density at the light's
+    rotated center. Replacing the wave-0 Monte Carlo injection with this
+    exact mean makes direct lighting zero-variance and cuts the per-photon
+    scatter traffic roughly in half.
+    """
+    d_bins, s = fields.n_bins, fields.size
+    capacity = lights.capacity
+    stamp = ANALYTIC_STAMP
+    two_pi = 2.0 * jnp.pi
+
+    offs = jnp.arange(stamp, dtype=jnp.float32) - stamp / 2 + 0.5
+    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+    rr = jnp.sqrt(ox**2 + oy**2)
+    ang = jnp.arange(d_bins, dtype=jnp.float32) * (two_pi / d_bins)
+    cb, sb = jnp.cos(ang), jnp.sin(ang)
+
+    all_flat, all_vals = [], []
+    for li in range(capacity):
+        enabled = light_mask[li]
+        radius = jnp.sqrt(jnp.abs(
+            lights.affine[li, 0, 0] * lights.affine[li, 1, 1]
+            - lights.affine[li, 0, 1] * lights.affine[li, 1, 0]))
+        center = lights.affine[li, :, 2]
+
+        cover = jnp.clip(radius + 0.5 - rr, 0.0, 1.0)
+        cover = cover / jnp.maximum(cover.sum(), 1e-12)
+
+        # Total emitted energy matches emit() with interval=1:
+        # per-photon E = energy*(W*H)/(rays*2pi), times rays, over D bins.
+        per_bin = lights.energy[li] * (pixel_count / (two_pi * d_bins))
+
+        rel = center - fields.center
+        cx = cb * rel[0] + sb * rel[1] + s / 2.0
+        cy = -sb * rel[0] + cb * rel[1] + s / 2.0
+        iy = jnp.clip((cy[:, None, None] + oy[None]).astype(jnp.int32), 0, s - 1)
+        ix = jnp.clip((cx[:, None, None] + ox[None]).astype(jnp.int32), 0, s - 1)
+        flat = (jnp.arange(d_bins, dtype=jnp.int32)[:, None, None] * s + iy) * s + ix
+
+        vals = (jnp.where(enabled, 1.0, 0.0)
+                * cover[None, :, :, None] * per_bin[None, None, None, :])
+        all_flat.append(flat.reshape(-1))
+        all_vals.append(jnp.broadcast_to(vals, (d_bins, stamp, stamp, 3)).reshape(-1, 3))
+
+    return _inject_flat(src_accum, jnp.concatenate(all_flat),
+                        jnp.concatenate(all_vals))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_photons", "max_bounces", "analytic_direct", "bounce_photons",
+    "mc_direct", "enable_brdf", "light_kinds"),
+    donate_argnames=("src_accum",))
 def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffer,
                     lights, field_textures, brdf_lut, key,
-                    n_photons: int, override_bounces, max_bounces: int = 4):
+                    n_photons: int, override_bounces, max_bounces: int = 4,
+                    analytic_direct: bool = True, bounce_photons: int = 0,
+                    mc_direct: bool = True, enable_brdf: bool = True,
+                    light_kinds: tuple | None = None):
     """Trace one frame's photons; accumulate sources into src_accum (D,S,S,3).
 
-    Returns (src_accum, photons_emitted). The lightmap itself is produced by
-    resolve_lightmap (deferred scan + rotate-back).
+    Returns (src_accum, photons_emitted); src_accum is the per-channel
+    source buffer tuple (3 x (D, S, S)). The lightmap itself is produced by
+    resolve_raw (deferred scan + rotate-back). With analytic_direct,
+    point lights' wave-0 deposits are injected as their exact expectation
+    (zero direct-light noise); their photons still trace for bounce waves.
+
+    bounce_photons > 0 enables Russian-roulette culling after wave 0: a
+    strided 1-in-(N/K) systematic subsample survives with energy scaled by
+    N/K (photons are exchangeable within each light's contiguous block, so
+    strided selection is unbiased). Bounce lighting is low-frequency, so a
+    fraction of the direct-wave photon count suffices, and the per-wave
+    scatter-injection cost (the HBM random-RMW bound) drops with it.
     """
     height, width = gbuffer.transmissibility.shape
     d_bins, s = fields.n_bins, fields.size
@@ -115,15 +217,43 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
     xs = jnp.arange(s, dtype=jnp.float32)
 
     k_emit, key = jax.random.split(key)
-    l_idx, rays_per_light = assign_photons_to_lights(lights, n_photons)
+    # With all-analytic direct lighting only the bounce-chain photons do any
+    # work, so emit exactly that many (identical in distribution to emitting
+    # n_photons and Russian-roulette culling — photons are exchangeable and
+    # per-photon energy renormalizes to the emitted count).
+    n_emit = (bounce_photons if (not mc_direct and 0 < bounce_photons < n_photons)
+              else n_photons)
+    l_idx, rays_per_light = assign_photons_to_lights(lights, n_emit)
     # interval=1: RBT deposits are exact line integrals; the reference's
     # 1/interval emission factor and interval^2 deposit factor cancel.
     pos, direction, energy, bounces = emit(
         lights, field_textures, l_idx, rays_per_light, k_emit,
-        (height, width), jnp.float32(1.0), override_bounces)
-    dead = jnp.zeros(n_photons, bool)
+        (height, width), jnp.float32(1.0), override_bounces,
+        active_kinds=light_kinds)
+    dead = jnp.zeros(n_emit, bool)
+
+    if analytic_direct:
+        light_mask = analytic_light_mask(lights)
+        analytic_mask = light_mask[l_idx]
+        src_accum = _analytic_point_sources(src_accum, lights, light_mask,
+                                            fields, float(width * height))
+    else:
+        analytic_mask = jnp.zeros(n_photons, bool)
+
+    def cull(arrs, keep):
+        stride = arrs[0].shape[0] // keep
+        return [a[::stride][:keep] for a in arrs], jnp.float32(stride)
+
+    # One packed material field -> one gather per photon per wave instead
+    # of two (XLA TPU gathers are the per-photon cost floor).
+    material = jnp.concatenate([gbuffer.normal, gbuffer.albedo[..., :3]], -1)
 
     for wave in range(max_bounces):
+        if wave == 1 and mc_direct and 0 < bounce_photons < pos.shape[0]:
+            (pos, direction, energy, bounces, dead, analytic_mask), scale = cull(
+                [pos, direction, energy, bounces, dead, analytic_mask], bounce_photons)
+            energy = energy * scale
+        n = pos.shape[0]
         key, k_tp, k_scatter = jax.random.split(key, 3)
         live = (~dead) & (wave < bounces)
 
@@ -138,10 +268,16 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
         yr = -sb * rel[:, 0] + cb * rel[:, 1] + s / 2.0
 
         # --- source injection (energy at the photon's rotated cell) ---
+        # mc_direct=False statically removes the wave-0 scatter when the
+        # caller knows every light is analytically injected (the scatter
+        # cost is paid even for all-masked updates otherwise).
         ix = jnp.clip(jnp.floor(xr).astype(jnp.int32), 0, s - 1)
         iy = jnp.clip(jnp.floor(yr).astype(jnp.int32), 0, s - 1)
-        src_accum = src_accum.at[b, iy, ix].add(
-            jnp.where(live[:, None], energy, 0.0))
+        if wave > 0 or mc_direct:
+            inject = live if wave > 0 else live & ~analytic_mask
+            flat = (b * s + iy) * s + ix
+            src_accum = _inject_flat(src_accum, flat,
+                                     jnp.where(inject[:, None], energy, 0.0))
 
         # --- free flight on the photon's row ---
         rows = fields.cum_log.reshape(d_bins * s, s)[b * s + iy]   # (N, S)
@@ -150,7 +286,7 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
         c_end = rows[:, -1]
         t_esc = jnp.exp(jnp.clip(c_end - c0, -60.0, 0.0))
 
-        tp = t_esc + jax.random.uniform(k_tp, (n_photons,)) * (1.0 - t_esc)
+        tp = t_esc + jax.random.uniform(k_tp, (n,)) * (1.0 - t_esc)
         thr = c0 + jnp.log(jnp.maximum(tp, 1e-30))
         x_star = jnp.sum((rows >= thr[:, None]).astype(jnp.int32), axis=-1)
         found = live & (x_star < s) & (x_star > 0)
@@ -168,12 +304,13 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
         # --- material scatter at the interaction point ---
         gx = jnp.clip(jnp.floor(p_hit[:, 0]).astype(jnp.int32), 0, width - 1)
         gy = jnp.clip(jnp.floor(p_hit[:, 1]).astype(jnp.int32), 0, height - 1)
-        normal4 = gbuffer.normal[gy, gx]
-        albedo = gbuffer.albedo[gy, gx, :3]
+        mat = material[gy, gx]
+        normal4 = mat[:, :4]
+        albedo = mat[:, 4:7]
 
-        rand3 = jax.random.uniform(k_scatter, (n_photons, 3))
+        rand3 = jax.random.uniform(k_scatter, (n, 3))
         new_dir, mat_scale, pushback = scatter_materially(
-            brdf_lut, normal4, direction, rand3)
+            brdf_lut, normal4, direction, rand3, fast=True, enable_brdf=enable_brdf)
 
         quantum_scale = 1.0 - t_esc
         bounced = found
@@ -184,17 +321,19 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
         direction = jnp.where(bounced[:, None], new_dir, direction)
         dead = dead | (live & ~found)
 
-    return src_accum, jnp.int32(n_photons)
+    return src_accum, jnp.int32(n_emit)
 
 
 @jax.jit
-def attenuation_scan(fields: RotatedFields, src_accum: jax.Array) -> jax.Array:
+def attenuation_scan(fields: RotatedFields, src_accum: tuple) -> jax.Array:
     """Per-row linear recurrence O[x] = t[x]*O[x-1] + src[x] over all bins.
 
     Numerically stable by construction (t <= 1, no exponentials of
     cumulative depth), unlike the naive exp(C)*cumsum(exp(-C)*src) form.
+    Returns deposits stacked channel-last (D, S, S, 3).
     """
-    t3 = fields.trans[..., None]
+    t = fields.trans
+    sqrt_t = jnp.sqrt(t)
 
     def combine(a, b):
         return (a[0] * b[0], a[1] * b[0] + b[1])
@@ -205,10 +344,12 @@ def attenuation_scan(fields: RotatedFields, src_accum: jax.Array) -> jax.Array:
     # oracle applies the full source texel — Propagate multiplies before
     # WriteSample — a half-texel-stronger attenuation; the continuous
     # convention splits the difference and matches the closed-form profile.)
-    _, deposited = jax.lax.associative_scan(
-        combine,
-        (jnp.broadcast_to(t3, src_accum.shape), src_accum * jnp.sqrt(t3)), axis=2)
-    return deposited
+    channels = []
+    for c in range(3):
+        _, dep = jax.lax.associative_scan(
+            combine, (t, src_accum[c] * sqrt_t), axis=2)
+        channels.append(dep)
+    return jnp.stack(channels, axis=-1)
 
 
 def rotate_back(fields: RotatedFields, deposited: jax.Array,

@@ -80,10 +80,14 @@ class RBTForwardIntegrator(ForwardIntegrator):
     def __init__(self, finalize_outscatter: bool = True, bilinear_writes: bool = True,
                  n_bins: int = 128):
         self.n_bins = n_bins
+        self.bounce_rays = 0  # 0 = no Russian-roulette culling after wave 0
         self._fields = None
         self._src = None
         self._resolved = None
         self._gbuffer = None
+        self._mc_direct = None
+        self._enable_brdf = True
+        self._light_kinds = None
         super().__init__(finalize_outscatter, bilinear_writes)
 
     @property
@@ -109,14 +113,30 @@ class RBTForwardIntegrator(ForwardIntegrator):
             self._fields = precompute_rotated_fields(gb, n_bins=self.n_bins)
             self._src = None
         if self._src is None:
-            s = self._fields.size
-            self._src = jnp.zeros((self.n_bins, s, s, 3))
+            from .rbt import zero_sources
+            self._src = zero_sources(self._fields)
         self.iterations_since_clear += 1
         override = -1 if self.override_bounce_count is None else int(self.override_bounce_count)
+        if self._mc_direct is None:
+            import numpy as np
+
+            from .rbt import analytic_light_mask
+
+            mask = np.asarray(analytic_light_mask(scene.lights))
+            active = np.asarray(scene.lights.active)
+            self._mc_direct = bool(np.any(active & ~mask))
+            self._enable_brdf = bool(np.any(
+                np.asarray(scene.shapes.active)
+                & (np.asarray(scene.shapes.alignment) > 0)))
+            self._light_kinds = tuple(sorted(set(
+                int(k) for k, a in zip(np.asarray(scene.lights.kind),
+                                       np.asarray(scene.lights.active)) if a)))
         self._src, n = rbt_trace_frame(
             self._fields, self._src, gb, scene.lights, scene.field_textures,
             self._brdf, key, self.rays_to_emit, jnp.int32(override),
-            max_bounces=self.max_bounces)
+            max_bounces=self.max_bounces, bounce_photons=self.bounce_rays,
+            mc_direct=self._mc_direct, enable_brdf=self._enable_brdf,
+            light_kinds=self._light_kinds)
         self.write_count += int(n)
         self._resolved = None
         return self.output_hdr

@@ -27,7 +27,7 @@ def setup():
 
 
 def _rbt_raw(scene, gb, brdf, fields, key, n=16384, frames=4, bounces=1):
-    src = jnp.zeros((fields.n_bins, fields.size, fields.size, 3))
+    src = rbt.zero_sources(fields)
     for f in range(frames):
         src, _ = rbt.rbt_trace_frame(fields, src, gb, scene.lights,
                                      scene.field_textures, brdf,
