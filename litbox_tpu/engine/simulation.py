@@ -62,8 +62,9 @@ class Simulation:
         self.has_converged = False
         self.convergence_progress = -1.0
         self.convergence_start_time = 0.0
-        self.simulation_output_hdr = None
-        self.variance_map = None
+        self._output_hdr = None
+        self._variance_map = None
+        self._outputs_stale = False
         self.importance_map = None
         self.photon_writes_per_second = 0.0
         self._last_perf = None
@@ -92,6 +93,24 @@ class Simulation:
         self.has_converged = False
         self.iterations_since_clear = 0
         self._dirty = True
+
+    def _refresh_outputs(self):
+        if self._outputs_stale:
+            mean, cv, _ = compute_cv_and_mips(
+                self._tracers[0].tracer_output, self._tracers[1].tracer_output)
+            self._output_hdr = mean
+            self._variance_map = cv
+            self._outputs_stale = False
+
+    @property
+    def simulation_output_hdr(self):
+        self._refresh_outputs()
+        return self._output_hdr
+
+    @property
+    def variance_map(self):
+        self._refresh_outputs()
+        return self._variance_map
 
     @property
     def gbuffer(self) -> GBuffer | None:
@@ -200,10 +219,12 @@ class Simulation:
         for t in self._tracers:
             t.end_trace(self.importance_map, self._next_key())
 
-        mean, cv, _ = compute_cv_and_mips(
-            self._tracers[0].tracer_output, self._tracers[1].tracer_output)
-        self.simulation_output_hdr = mean
-        self.variance_map = cv
+        # Outputs resolve lazily: with the RBT engine the lightmap resolve
+        # (scan + rotate-back) costs far more than a frame's photon work, so
+        # it only runs when the output is actually read (display, convergence
+        # measurement, dataset writes) — the reference computes CV every
+        # frame only because it is nearly free on its GPU.
+        self._outputs_stale = True
 
         for cb in self.on_step:
             cb(self.iterations_since_clear)
