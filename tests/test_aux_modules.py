@@ -1,0 +1,94 @@
+import os
+
+import numpy as np
+import pytest
+
+from litbox_tpu.data.sessions import consolidate_sessions, is_complete, list_sample_ids
+from litbox_tpu.demo.testbeds import ALL_TESTBEDS
+from litbox_tpu.engine.camera import CameraBinding
+
+
+def test_camera_binding_sizes():
+    cb = CameraBinding(1920, 1080, resolution_scale=0.25)
+    assert cb.sim_size == (480, 270)
+    cb = CameraBinding(1920, 1080, resolution_scale=0.25, padding_percent=10)
+    w, h = cb.sim_size
+    assert w == int((1920 + 2 * 1080 * 0.1) * 0.25)
+    assert h == int((1080 + 2 * 1080 * 0.1) * 0.25)
+    m = cb.screen_to_sim_uv
+    assert m.shape == (3, 3)
+    # Screen center maps near sim UV magnitude 0.5.
+    uv = m @ np.array([0.5, 0.5, 1.0])
+    assert abs(abs(uv[0]) - 0.5) < 0.3
+
+
+def test_camera_binding_applies(monkeypatch):
+    class FakeSim:
+        width = height = 0
+        invalidated = False
+
+        def invalidate(self):
+            self.invalidated = True
+
+    sim = FakeSim()
+    CameraBinding(800, 600).apply(sim)
+    assert (sim.width, sim.height) == (200, 150)
+    assert sim.invalidated
+
+
+def _touch_sample(d, sid, n_profiles=1):
+    names = [f"Scene_{sid:05d}.json", f"Albedo_{sid:05d}.png",
+             f"Transmissibility_{sid:05d}.exr", f"Output_Reference_{sid:05d}.exr",
+             f"Output_Preview_{sid:05d}.png"]
+    names += [f"Input{k}_Radiance_{t}_{sid:05d}.exr" for k in range(n_profiles) for t in "AB"]
+    for n in names:
+        with open(os.path.join(d, n), "w") as f:
+            f.write("x")
+
+
+def test_consolidate_sessions(tmp_path):
+    s1 = tmp_path / "2026-01-01-00-00-00"
+    s2 = tmp_path / "2026-01-02-00-00-00"
+    s1.mkdir()
+    s2.mkdir()
+    _touch_sample(str(s1), 0)
+    _touch_sample(str(s1), 1)
+    _touch_sample(str(s2), 0)
+    # Incomplete sample in s2 (missing reference) must be skipped.
+    with open(s2 / "Scene_00001.json", "w") as f:
+        f.write("x")
+
+    assert list_sample_ids(str(s1)) == [0, 1]
+    assert is_complete(str(s1), 0, 1)
+    assert not is_complete(str(s2), 1, 1)
+
+    dest = consolidate_sessions(str(tmp_path), n_input_profiles=1)
+    ids = list_sample_ids(dest)
+    assert ids == [0, 1, 2]
+    assert os.path.exists(os.path.join(dest, "Output_Reference_00002.exr"))
+
+
+@pytest.mark.parametrize("name", sorted(ALL_TESTBEDS))
+def test_testbed_scenes_build(name):
+    scene = ALL_TESTBEDS[name](64)
+    assert int(np.asarray(scene.lights.active).sum()) >= 1
+    assert int(np.asarray(scene.shapes.active).sum()) >= 1
+
+
+def test_perf_text():
+    from litbox_tpu.engine import Mode, Simulation
+    from litbox_tpu.engine.perf import format_perf_text
+
+    sim = Simulation(mode=Mode.REFERENCE)
+    text = format_perf_text(sim)
+    assert "MWrites/s" in text and "Variance" in text
+
+
+def test_display_writes_png(tmp_path):
+    from litbox_tpu.nn.display import DenoiserDisplay
+
+    d = DenoiserDisplay(out_path=str(tmp_path / "panel.png"))
+    x = np.random.default_rng(0).uniform(0, 1, (1, 16, 16, 1))
+    d.show(x, x, x)
+    d.shutdown()
+    assert os.path.exists(tmp_path / "panel.png")
