@@ -354,7 +354,15 @@ def attenuation_scan(fields: RotatedFields, src_accum: tuple) -> jax.Array:
 
 def rotate_back(fields: RotatedFields, deposited: jax.Array,
                 height: int, width: int) -> jax.Array:
-    """Sum per-bin rotated deposit maps into the target frame."""
+    """Sum per-bin rotated deposit maps into the target frame.
+
+    Factorized tent-matmul resample per bin (P x S @ S x S*3 on the MXU),
+    sequential over bins to bound temporaries. ~50 ms at 256^2/128 bins on
+    v5e — display-path only (amortized over the measurement cadence).
+    TODO: a Pallas 3-shear rotation pipeline is bandwidth-bound (~2 ms) and
+    the right long-term implementation; tiled-crop variants measured slower
+    than this form due to vmap layout overhead.
+    """
     ys, xs = jnp.mgrid[0:height, 0:width]
     p = jnp.stack([xs + 0.5, ys + 0.5], -1).reshape(-1, 2).astype(jnp.float32)
     rel = p - fields.center
