@@ -6,6 +6,7 @@ from litbox_tpu.data import TrainingFactory
 
 factory = TrainingFactory(
     output_folder="/root/repo/runs/dataset",
+    continue_previous_session=True,
     samples_to_generate=int(sys.argv[1]) if len(sys.argv) > 1 else 32,
     width=256, height=256,
     input_profiles=(
@@ -13,9 +14,9 @@ factory = TrainingFactory(
         SimulationProfile(1, 65536, 0.1, 4),
         SimulationProfile(1, 262144, 0.1, 4),
     ),
-    convergence_profile=SimulationProfile(-1, 65536, 0.01, 4),
-    convergence_threshold=2e-4,
-    max_convergence_frames=400,
+    convergence_profile=SimulationProfile(-1, 262144, 0.01, 4),
+    convergence_threshold=6e-4,
+    max_convergence_frames=250,
     seed=42,
 )
 t0 = time.time()
