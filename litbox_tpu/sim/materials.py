@@ -56,6 +56,74 @@ def scatter_importance_lobed(teardrop_lut: jax.Array, origin: jax.Array,
     return direction, s[..., 2]
 
 
+def scatter_importance_guided(pyramid: tuple, origin_uv: jax.Array,
+                              rand2: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Hierarchical importance-map sampling (the intent of
+    ScatterImportanceGuided / TestImportanceMapPDF,
+    SimulationCommon.cginc:145-255).
+
+    The reference's version is dead code (it descends a 2x2 Gather window
+    within ~8 map pixels of the origin and its tail returns 0, :253-254).
+    This implements the global form: a top-down categorical descent of the
+    SUM pyramid from post.importance_pyramid — pick a coarsest-level cell
+    proportionally to its energy, then refine through each level's 2x2
+    children — yielding points distributed like the radiance map with exact
+    inverse-density weights.
+
+    Returns (uv_offset from origin_uv to the sampled point, inverse density
+    = uniform_pdf / sample_pdf).
+    """
+    coarsest = pyramid[-1]
+    ch, cw = coarsest.shape
+    n = origin_uv.shape[0]
+    selector = rand2[..., 0]
+
+    # Coarsest level: categorical over all cells.
+    flat = coarsest.reshape(-1)
+    cdf = jnp.cumsum(flat)
+    total = cdf[-1] + 1e-20
+    idx = jnp.searchsorted(cdf, selector * total, side="right")
+    idx = jnp.clip(idx, 0, flat.shape[0] - 1)
+    lo = jnp.where(idx > 0, cdf[idx - 1], 0.0)
+    p_cell = flat[idx] / total
+    selector = jnp.clip((selector * total - lo) / jnp.maximum(flat[idx], 1e-20), 0.0, 1.0)
+    cy, cx = idx // cw, idx % cw
+    inv_density = (1.0 / (ch * cw)) / jnp.maximum(p_cell, 1e-20)
+
+    # Refine through finer levels: 4-way pick among the 2x2 children.
+    for level in reversed(pyramid[:-1]):
+        lh, lw = level.shape
+        cy2, cx2 = cy * 2, cx * 2
+        e00 = level[jnp.clip(cy2, 0, lh - 1), jnp.clip(cx2, 0, lw - 1)]
+        e01 = level[jnp.clip(cy2, 0, lh - 1), jnp.clip(cx2 + 1, 0, lw - 1)]
+        e10 = level[jnp.clip(cy2 + 1, 0, lh - 1), jnp.clip(cx2, 0, lw - 1)]
+        e11 = level[jnp.clip(cy2 + 1, 0, lh - 1), jnp.clip(cx2 + 1, 0, lw - 1)]
+        tot = e00 + e01 + e10 + e11 + 1e-20
+        p0, p1, p2 = e00 / tot, e01 / tot, e10 / tot
+        c0, c1, c2 = p0, p0 + p1, p0 + p1 + e10 / tot
+        sel = selector
+        k0 = sel < c0
+        k1 = (~k0) & (sel < c1)
+        k2 = (~k0) & (~k1) & (sel < c2)
+        k3 = ~(k0 | k1 | k2)
+        dx = jnp.where(k1 | k3, 1, 0)
+        dy = jnp.where(k2 | k3, 1, 0)
+        p_child = jnp.where(k0, p0, jnp.where(k1, p1,
+                            jnp.where(k2, p2, e11 / tot)))
+        selector = jnp.where(k0, sel / jnp.maximum(c0, 1e-20),
+                   jnp.where(k1, (sel - c0) / jnp.maximum(p1, 1e-20),
+                   jnp.where(k2, (sel - c1) / jnp.maximum(e10 / tot, 1e-20),
+                             (sel - c2) / jnp.maximum(e11 / tot, 1e-20))))
+        cy, cx = cy2 + dy, cx2 + dx
+        inv_density = inv_density * 0.25 / jnp.maximum(p_child, 1e-20)
+
+    h0, w0 = pyramid[0].shape
+    jitter = rand2[..., 1]
+    uv = jnp.stack([(cx.astype(jnp.float32) + jitter) / w0,
+                    (cy.astype(jnp.float32) + selector) / h0], -1)
+    return uv - origin_uv, inv_density
+
+
 def _hermite_weights(u: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Cubic Hermite basis (SimulationCommon.cginc:270-281)."""
     uu = u * u
