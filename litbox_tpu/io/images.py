@@ -29,7 +29,16 @@ def write_png(path: str, rgb: np.ndarray, srgb_encode: bool = True) -> None:
 
 
 def read_image_linear(path: str) -> np.ndarray:
-    """Dispatch on extension like litbox_dataset.load_image."""
+    """Dispatch on extension like litbox_dataset.load_image.
+
+    EXRs prefer the native multithreaded decoder (litbox_tpu.native) and
+    fall back to the pure-Python codec.
+    """
     if path.lower().endswith(".exr"):
+        from ..native import read_exr_rgb_native
+
+        out = read_exr_rgb_native(path)
+        if out is not None:
+            return out
         return read_exr_rgb(path)
     return read_png_linear(path)
