@@ -146,6 +146,7 @@ def inject_sorted(planes: tuple, flat_idx: jax.Array, energy: jax.Array) -> tupl
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((g * BLOCK_ROWS, LANES), jnp.float32)] * 3,
         input_output_aliases={5: 0, 6: 1, 7: 2},
+        interpret=jax.default_backend() != "tpu",
     )(starts, idx2d, e0, e1, e2, p0, p1, p2)
 
     def unprep(o):

@@ -356,13 +356,22 @@ def rotate_back(fields: RotatedFields, deposited: jax.Array,
                 height: int, width: int) -> jax.Array:
     """Sum per-bin rotated deposit maps into the target frame.
 
-    Factorized tent-matmul resample per bin (P x S @ S x S*3 on the MXU),
-    sequential over bins to bound temporaries. ~50 ms at 256^2/128 bins on
-    v5e — display-path only (amortized over the measurement cadence).
-    TODO: a Pallas 3-shear rotation pipeline is bandwidth-bound (~2 ms) and
-    the right long-term implementation; tiled-crop variants measured slower
-    than this form due to vmap layout overhead.
+    On TPU: Pallas 3-shear rotation (ops/rotate.py), bandwidth-bound.
+    Elsewhere: factorized tent-matmul resample per bin (P x S @ S x S*3 on
+    the MXU, ~50 ms at 256^2/128 bins) — also the numerical reference the
+    shear path is validated against.
     """
+    if jax.default_backend() == "tpu":
+        from ..ops.rotate import rotate_bins
+
+        s = fields.size
+        # The matmul path samples with R(-theta_d); rotate_bins' convention
+        # is R(+a), so a = -theta_d (validated against the matmul path).
+        angles = -jnp.arctan2(fields.sin, fields.cos)
+        rotated = rotate_bins(deposited, angles)
+        oy = (s - height) // 2
+        ox = (s - width) // 2
+        return rotated.sum(0)[oy:oy + height, ox:ox + width]
     ys, xs = jnp.mgrid[0:height, 0:width]
     p = jnp.stack([xs + 0.5, ys + 0.5], -1).reshape(-1, 2).astype(jnp.float32)
     rel = p - fields.center
