@@ -35,6 +35,7 @@ class TrainConfig:
     use_sigmoid: bool = False
     learn_rate: float = 1e-5
     weight_decay: float = 0.01
+    grad_clip: float = 1.0
     batch_size: int = 4
     epochs: int = 20
     crop_size: int = 256
@@ -56,8 +57,11 @@ class Trainer:
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         # torch Adam(weight_decay=) couples the decay into the gradient
-        # (not AdamW): add_decayed_weights BEFORE the adam transform.
+        # (not AdamW): add_decayed_weights BEFORE the adam transform. The
+        # global-norm clip guards the HDR-weighted L2 loss, whose gradient
+        # scale follows the scene's (unbounded) radiance range.
         self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip) if cfg.grad_clip else optax.identity(),
             optax.add_decayed_weights(cfg.weight_decay),
             optax.adam(cfg.learn_rate),
         )

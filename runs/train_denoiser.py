@@ -28,9 +28,11 @@ for name, pat in (("Easy", "Input2_Radiance_{}_{{0}}.exr"), ("Final", "Input1_Ra
 print("samples:", len(refs))
 
 minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 30
+from litbox_tpu.nn.unet import TransformConfig
 cfg = TrainConfig(unet_size=5, initial_features=32, crop_size=192,
-                  learn_rate=2e-4, epochs=100000, batch_size=4,
-                  checkpoint_interval=300.0)
+                  learn_rate=3e-5, epochs=100000, batch_size=4,
+                  checkpoint_interval=300.0,
+                  transform=TransformConfig(normalize_input=True))
 trainer = Trainer(cfg)
 t0 = time.time()
 log = []
