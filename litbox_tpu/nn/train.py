@@ -140,27 +140,44 @@ class Trainer:
                         return log
         return log
 
-    # ----- checkpointing (reference: torch.save / .pth; here msgpack) -----
+    # ----- checkpointing (reference: torch.save / .pth) -----
+    # npz with flattened key paths: flax msgpack took minutes at GB scale.
 
-    def save(self, path: str):
+    def _flat(self, tree, prefix):
+        leaves = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            key = prefix + "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                                    for p in path)
+            leaves[key] = np.asarray(leaf)
+        return leaves
+
+    def save(self, path: str, include_optimizer: bool = True):
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        blob = serialization.to_bytes({"params": self.params,
-                                       "batch_stats": self.batch_stats,
-                                       "opt_state": self.opt_state})
-        with open(path, "wb") as f:
-            f.write(blob)
+        arrays = self._flat(self.params, "params:")
+        arrays.update(self._flat(self.batch_stats, "stats:"))
+        if include_optimizer:
+            arrays.update(self._flat(self.opt_state, "opt:"))
+        np.savez(path, **arrays)
         with open(path + ".json", "w") as f:
             json.dump(dataclasses.asdict(self.cfg), f, default=str)
 
+    def _unflat(self, tree, arrays, prefix):
+        paths, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        leaves = []
+        for path, leaf in paths:
+            key = prefix + "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                                    for p in path)
+            leaves.append(jnp.asarray(arrays[key]) if key in arrays else leaf)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
     def load(self, path: str):
-        with open(path, "rb") as f:
-            blob = f.read()
-        tmpl = {"params": self.params, "batch_stats": self.batch_stats,
-                "opt_state": self.opt_state}
-        restored = serialization.from_bytes(tmpl, blob)
-        self.params = restored["params"]
-        self.batch_stats = restored["batch_stats"]
-        self.opt_state = restored["opt_state"]
+        if not path.endswith(".npz") and os.path.exists(path + ".npz"):
+            path = path + ".npz"
+        arrays = np.load(path)
+        self.params = self._unflat(self.params, arrays, "params:")
+        self.batch_stats = self._unflat(self.batch_stats, arrays, "stats:")
+        if any(k.startswith("opt:") for k in arrays.files):
+            self.opt_state = self._unflat(self.opt_state, arrays, "opt:")
 
     def eval_fn(self) -> Callable[[Any], Any]:
         """Jitted single-channel forward in eval mode."""

@@ -70,7 +70,9 @@ class RotatedFields:
 def precompute_rotated_fields(gbuffer: GBuffer, n_bins: int = 128,
                               rot_size: int = 0) -> RotatedFields:
     height, width = gbuffer.transmissibility.shape
-    s = rot_size or int(-(-int(np.ceil((height**2 + width**2) ** 0.5)) // 8) * 8)
+    # Rounded to a multiple of 128 so the rotation shear kernels never pad
+    # (lane alignment) — worth ~9% memory for copy-free shears.
+    s = rot_size or int(-(-int(np.ceil((height**2 + width**2) ** 0.5)) // 128) * 128)
     d = n_bins
 
     angles = jnp.arange(d, dtype=jnp.float32) * (2 * jnp.pi / d)
@@ -362,13 +364,14 @@ def rotate_back(fields: RotatedFields, deposited: jax.Array,
     shear path is validated against.
     """
     if jax.default_backend() == "tpu":
-        from ..ops.rotate import rotate_bins
+        from ..ops.rotate import rotate_bins_uniform
 
         s = fields.size
+        d = fields.n_bins
         # The matmul path samples with R(-theta_d); rotate_bins' convention
         # is R(+a), so a = -theta_d (validated against the matmul path).
-        angles = -jnp.arctan2(fields.sin, fields.cos)
-        rotated = rotate_bins(deposited, angles)
+        angles = [-i * 2.0 * np.pi / d for i in range(d)]
+        rotated = rotate_bins_uniform(deposited, tuple(angles))
         oy = (s - height) // 2
         ox = (s - width) // 2
         return rotated.sum(0)[oy:oy + height, ox:ox + width]

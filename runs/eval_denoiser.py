@@ -14,7 +14,7 @@ from litbox_tpu.nn.loss import psnr
 from litbox_tpu.nn.train import TrainConfig, Trainer
 
 dataset_dir = sorted(glob.glob("/root/repo/runs/dataset/*"))[-1]
-model_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/runs/denoiser/model.msgpack"
+model_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/runs/denoiser/model.npz"
 eval_ids = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 input_set = "Input1"
 

@@ -51,5 +51,5 @@ while time.time() - t0 < minutes * 60:
                 break
         if time.time() - t0 > minutes * 60:
             break
-trainer.save("/root/repo/runs/denoiser/model.msgpack")
-print("saved /root/repo/runs/denoiser/model.msgpack after", step, "steps")
+trainer.save("/root/repo/runs/denoiser/model.npz", include_optimizer=False)
+print("saved /root/repo/runs/denoiser/model.npz after", step, "steps")
