@@ -1,0 +1,71 @@
+"""Pallas kernel numerics (run in interpreter mode off-TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from litbox_tpu.ops.inject import inject_sorted
+from litbox_tpu.ops.resample import gather_bilinear_mxu
+from litbox_tpu.ops.rotate import rotate_bins, rotate_bins_uniform
+
+
+def _rotate_ref(im, theta, s):
+    ys, xs = jnp.mgrid[0:s, 0:s]
+    u = xs + 0.5 - s / 2
+    v = ys + 0.5 - s / 2
+    c, sn = jnp.cos(theta), jnp.sin(theta)
+    pts = jnp.stack([c * u - sn * v + s / 2, sn * u + c * v + s / 2], -1).reshape(-1, 2)
+    return gather_bilinear_mxu(im, pts, chunk=4096).reshape(s, s, 3)
+
+
+@pytest.mark.parametrize("theta", [0.0, 0.37, -1.2, 2.5, np.pi])
+def test_rotate_bins_matches_dense_reference(theta):
+    s = 64
+    rng = np.random.default_rng(0)
+    img = np.zeros((s, s, 3), np.float32)
+    img[12:20, 34:50] = rng.uniform(0.5, 1.5, (8, 16, 3))
+    imgs = jnp.asarray(img)[None]
+    out = np.asarray(rotate_bins(imgs, jnp.asarray([theta])))[0]
+    ref = np.asarray(_rotate_ref(imgs[0], theta, s))
+    # 3-shear vs bilinear: small interpolation differences, same mass.
+    assert abs(out.sum() / max(ref.sum(), 1e-6) - 1) < 0.02
+    assert np.abs(out - ref).mean() < 0.01
+
+
+def test_rotate_bins_uniform_matches_traced():
+    # d=6 avoids angles landing exactly on the +-45deg quadrant boundary,
+    # where float32 (traced) and float64 (static) rounding legitimately pick
+    # different — equally valid — shear decompositions.
+    s = 64
+    d = 6
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.uniform(0, 1, (d, s, s, 3)).astype(np.float32))
+    angles = [-i * 2 * np.pi / d for i in range(d)]
+    a = np.asarray(rotate_bins_uniform(imgs, tuple(angles)))
+    b = np.asarray(rotate_bins(imgs, jnp.asarray(angles)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_inject_sorted_matches_scatter():
+    rng = np.random.default_rng(2)
+    d, s = 2, 64
+    total = d * s * s
+    planes = tuple(jnp.asarray(rng.uniform(0, 1, (d, s, s)).astype(np.float32))
+                   for _ in range(3))
+    n = 2000
+    idx = rng.integers(0, total, n).astype(np.int32)
+    idx[::5] = np.iinfo(np.int32).max
+    e = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+
+    expected = []
+    for c in range(3):
+        flat = np.asarray(planes[c]).reshape(-1).copy()
+        np.add.at(flat, idx[idx != np.iinfo(np.int32).max],
+                  e[idx != np.iinfo(np.int32).max, c])
+        expected.append(flat)
+
+    out = inject_sorted(tuple(p.copy() for p in planes), jnp.asarray(idx), jnp.asarray(e))
+    for c in range(3):
+        np.testing.assert_allclose(np.asarray(out[c]).reshape(-1), expected[c],
+                                   rtol=2e-2, atol=2e-3)
