@@ -81,6 +81,10 @@ class RBTForwardIntegrator(ForwardIntegrator):
                  n_bins: int = 128):
         self.n_bins = n_bins
         self.bounce_rays = 0  # 0 = no Russian-roulette culling after wave 0
+        # Analytic zero-variance direct lighting. Disable to reproduce the
+        # reference's Monte-Carlo direct-light noise (e.g. for denoiser
+        # training inputs, which must actually BE noisy).
+        self.analytic_direct = True
         self._fields = None
         self._src = None
         self._resolved = None
@@ -124,7 +128,7 @@ class RBTForwardIntegrator(ForwardIntegrator):
 
             mask = np.asarray(analytic_light_mask(scene.lights))
             active = np.asarray(scene.lights.active)
-            self._mc_direct = bool(np.any(active & ~mask))
+            self._mc_direct = (not self.analytic_direct) or bool(np.any(active & ~mask))
             self._enable_brdf = bool(np.any(
                 np.asarray(scene.shapes.active)
                 & (np.asarray(scene.shapes.alignment) > 0)))
@@ -136,7 +140,7 @@ class RBTForwardIntegrator(ForwardIntegrator):
             self._brdf, key, self.rays_to_emit, jnp.int32(override),
             max_bounces=self.max_bounces, bounce_photons=self.bounce_rays,
             mc_direct=self._mc_direct, enable_brdf=self._enable_brdf,
-            light_kinds=self._light_kinds)
+            light_kinds=self._light_kinds, analytic_direct=self.analytic_direct)
         self.write_count += int(n)
         self._resolved = None
         return self.output_hdr
