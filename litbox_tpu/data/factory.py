@@ -193,6 +193,14 @@ class TrainingFactory:
     seed: int | None = None
     substrate_texture_size: int = 512
     preview_exposure_offset: float = 0.0
+    # Denoiser inputs must actually BE noisy: trace direct light with Monte
+    # Carlo for the input profiles (the reference's inputs carry MC direct
+    # noise; with analytic direct they measure ~74 dB PSNR vs the converged
+    # reference and there is nothing for the denoiser to learn).
+    mc_direct_inputs: bool = True
+    # Dither the RBT angular bins per frame so converged references carry no
+    # D-spoke quantization artifacts (sim/rbt.py phase).
+    jitter_bins: bool = True
 
     def __post_init__(self):
         if self.continue_previous_session:
@@ -241,6 +249,14 @@ class TrainingFactory:
             sim = Simulation(width=self.width, height=self.height,
                              mode=Mode.REFERENCE, seed=sample_id)
             sim.set_scene(scene)
+            sim._validate_tracers()
+
+            def _configure(analytic_direct: bool):
+                for t in sim._tracers:
+                    fwd = t.forward
+                    if hasattr(fwd, "analytic_direct"):
+                        fwd.analytic_direct = analytic_direct
+                        fwd.jitter_bins = self.jitter_bins
 
             albedo_path = self._path("Albedo_{0:05d}.png", sample_id)
             trans_path = self._path("Transmissibility_{0:05d}.exr", sample_id)
@@ -251,6 +267,7 @@ class TrainingFactory:
                 b_path = self._path(f"Input{k}_Radiance_B_{{0:05d}}.exr", sample_id)
                 if os.path.exists(a_path) and os.path.exists(b_path):
                     continue
+                _configure(analytic_direct=not self.mc_direct_inputs)
                 sim.load_profile(profile)
                 sim.invalidate()
                 sim.run(max_frames=max(profile.frame_limit, 1))
@@ -260,6 +277,7 @@ class TrainingFactory:
             ref_path = self._path("Output_Reference_{0:05d}.exr", sample_id)
             preview_path = self._path("Output_Preview_{0:05d}.png", sample_id)
             if not (os.path.exists(ref_path) and os.path.exists(preview_path)):
+                _configure(analytic_direct=True)
                 profile = dataclasses.replace(
                     self.convergence_profile, frame_limit=-1)
                 sim.load_profile(profile)

@@ -26,6 +26,23 @@ from ..scene.scene import Scene
 from ..sim.tracers import HybridTracer, LightTransportTracer
 
 
+def _pytree_equal(a, b) -> bool:
+    import numpy as np
+
+    la, ta = jax.tree.flatten(a)
+    lb, tb = jax.tree.flatten(b)
+    if ta != tb or len(la) != len(lb):
+        return False
+    return all(x is y or np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(la, lb))
+
+
+def _substrate_unchanged(prev, scene) -> bool:
+    """True when nothing that feeds the GBuffer rasterizer differs."""
+    return (_pytree_equal(prev.shapes, scene.shapes)
+            and _pytree_equal(prev.textures, scene.textures))
+
+
 class Strategy(enum.Enum):
     LIGHT_TRANSPORT = "light_transport"
     HYBRID = "hybrid"
@@ -57,6 +74,7 @@ class Simulation:
         self._scene: Scene | None = None
         self._gbuffer: GBuffer | None = None
         self._dirty = True
+        self._lights_dirty = False
         self._scene_id = 0
         self.iterations_since_clear = 0
         self.has_converged = False
@@ -76,11 +94,28 @@ class Simulation:
     # ----- scene management -----
 
     def set_scene(self, scene: Scene):
+        """Set/replace the scene with fine-grained change detection.
+
+        The reference's ChangeManager registers per-field pollers so a light
+        move invalidates only the 'dirtyFrame' group while substrate edits
+        also rebuild the GBuffer (PhotonerComponent.cs:6-91,
+        ChangeManager.cs:9-94). Scenes here are immutable pytrees, so the
+        equivalent is structural diffing on assignment: if only lights
+        changed, accumulation resets but the GBuffer — and therefore the RBT
+        engine's rotated-field precompute, which is keyed on GBuffer
+        identity — is reused. Animated realtime scenes that move lights pay
+        zero per-frame precompute.
+        """
+        prev = self._scene
         self._scene = scene
+        if prev is not None and _substrate_unchanged(prev, scene):
+            if not _pytree_equal(prev.lights, scene.lights):
+                self._lights_dirty = True
+            return
         self.invalidate()
 
     def invalidate(self):
-        """Mark the scene dirty (reference: ChangeManager-driven
+        """Mark the whole scene dirty (reference: ChangeManager-driven
         OnInvalidated('dirtyFrame'), Simulation.cs:122-131)."""
         self._dirty = True
 
@@ -188,13 +223,17 @@ class Simulation:
             raise RuntimeError("step() called with no scene set")
         self._validate_tracers()
 
-        if self.mode == Mode.REALTIME or self._dirty or self._gbuffer is None:
+        # GBuffer (and the RBT field precompute keyed on it) rebuilds only
+        # when the substrate actually changed — a light move or realtime
+        # frame reset keeps it (fine-grained dirty groups, ChangeManager.cs).
+        if self._dirty or self._gbuffer is None:
             self._gbuffer = rasterize(self._scene, self.height, self.width)
-            if self._dirty or self.mode == Mode.REALTIME:
-                self.has_converged = False
-                self.iterations_since_clear = 0
-                self._scene_id += 1
-                self._dirty = False
+        if self._dirty or self._lights_dirty or self.mode == Mode.REALTIME:
+            self.has_converged = False
+            self.iterations_since_clear = 0
+            self._scene_id += 1
+            self._dirty = False
+            self._lights_dirty = False
 
         if not self.is_running:
             return

@@ -27,8 +27,11 @@ RBT restructures the same estimator so the hot path is dense VPU/MXU work:
     display/convergence time and amortized.
 
 Angular quantization blurs transport tangentially by up to r*2pi/D at
-distance r (a cone of one bin width); bins are jittered per frame is NOT
-done in v1 — raise n_bins for sharper shadows.
+distance r (a cone of one bin width). A fixed bin phase leaves D radial
+"spokes" in smooth direct light; passing a per-frame random `phase` to
+precompute_rotated_fields rotates the whole bin fan by phase*2pi/D so the
+accumulated (or converged) output integrates over the cone and the spokes
+average away (the per-frame cost is one field re-rotation + resolve).
 """
 
 from __future__ import annotations
@@ -56,6 +59,7 @@ class RotatedFields:
     trans: jax.Array     # (D, S, S) per-cell transmissibility along rows
     cum_log: jax.Array   # (D, S, S) cumulative log-transmissibility C
     center: jax.Array    # (2,) target-frame center
+    phase: jax.Array     # () bin-fan phase offset in bin units, [0, 1)
 
     @property
     def n_bins(self) -> int:
@@ -68,14 +72,19 @@ class RotatedFields:
 
 @functools.partial(jax.jit, static_argnames=("n_bins", "rot_size"))
 def precompute_rotated_fields(gbuffer: GBuffer, n_bins: int = 128,
-                              rot_size: int = 0) -> RotatedFields:
+                              rot_size: int = 0,
+                              phase: jax.Array | float = 0.0) -> RotatedFields:
+    """phase (traced, bin units in [0, 1)) rotates the whole bin fan by
+    phase*2pi/n_bins — pass a fresh random phase per frame to dither away
+    the D-spoke angular quantization in accumulated output."""
     height, width = gbuffer.transmissibility.shape
     # Rounded to a multiple of 128 so the rotation shear kernels never pad
     # (lane alignment) — worth ~9% memory for copy-free shears.
     s = rot_size or int(-(-int(np.ceil((height**2 + width**2) ** 0.5)) // 128) * 128)
     d = n_bins
 
-    angles = jnp.arange(d, dtype=jnp.float32) * (2 * jnp.pi / d)
+    phase = jnp.asarray(phase, jnp.float32)
+    angles = (jnp.arange(d, dtype=jnp.float32) + phase) * (2 * jnp.pi / d)
     cos = jnp.cos(angles)
     sin = jnp.sin(angles)
     center = jnp.array([width / 2.0, height / 2.0], jnp.float32)
@@ -93,7 +102,8 @@ def precompute_rotated_fields(gbuffer: GBuffer, n_bins: int = 128,
 
     logt_rot = gather_bilinear_mxu(logt, points).reshape(d, s, s)
     return RotatedFields(cos=cos, sin=sin, trans=jnp.exp(logt_rot),
-                         cum_log=jnp.cumsum(logt_rot, axis=-1), center=center)
+                         cum_log=jnp.cumsum(logt_rot, axis=-1), center=center,
+                         phase=phase)
 
 
 def _row_extract(values: jax.Array, weights: jax.Array) -> jax.Array:
@@ -154,7 +164,7 @@ def _analytic_point_sources(src_accum: jax.Array, lights, light_mask,
     offs = jnp.arange(stamp, dtype=jnp.float32) - stamp / 2 + 0.5
     oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
     rr = jnp.sqrt(ox**2 + oy**2)
-    ang = jnp.arange(d_bins, dtype=jnp.float32) * (two_pi / d_bins)
+    ang = (jnp.arange(d_bins, dtype=jnp.float32) + fields.phase) * (two_pi / d_bins)
     cb, sb = jnp.cos(ang), jnp.sin(ang)
 
     all_flat, all_vals = [], []
@@ -260,8 +270,8 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
         live = (~dead) & (wave < bounces)
 
         theta = jnp.arctan2(direction[:, 1], direction[:, 0])
-        b = jnp.round(theta / bin_width).astype(jnp.int32) % d_bins
-        ang = b.astype(jnp.float32) * bin_width
+        b = jnp.round(theta / bin_width - fields.phase).astype(jnp.int32) % d_bins
+        ang = (b.astype(jnp.float32) + fields.phase) * bin_width
         cb = jnp.cos(ang)
         sb = jnp.sin(ang)
 
@@ -355,23 +365,32 @@ def attenuation_scan(fields: RotatedFields, src_accum: tuple) -> jax.Array:
 
 
 def rotate_back(fields: RotatedFields, deposited: jax.Array,
-                height: int, width: int) -> jax.Array:
+                height: int, width: int,
+                traced_phase: bool = False) -> jax.Array:
     """Sum per-bin rotated deposit maps into the target frame.
 
     On TPU: Pallas 3-shear rotation (ops/rotate.py), bandwidth-bound.
     Elsewhere: factorized tent-matmul resample per bin (P x S @ S x S*3 on
     the MXU, ~50 ms at 256^2/128 bins) — also the numerical reference the
     shear path is validated against.
+
+    traced_phase=True routes the TPU path through the traced-angle shear
+    rotation so a per-frame jittered fields.phase works under one jit (the
+    static path bakes phase=0 angles into the kernel schedule).
     """
     if jax.default_backend() == "tpu":
-        from ..ops.rotate import rotate_bins_uniform
+        from ..ops.rotate import rotate_bins, rotate_bins_uniform
 
         s = fields.size
         d = fields.n_bins
         # The matmul path samples with R(-theta_d); rotate_bins' convention
         # is R(+a), so a = -theta_d (validated against the matmul path).
-        angles = [-i * 2.0 * np.pi / d for i in range(d)]
-        rotated = rotate_bins_uniform(deposited, tuple(angles))
+        if traced_phase:
+            angles = -(jnp.arange(d, dtype=jnp.float32) + fields.phase) * (2.0 * np.pi / d)
+            rotated = rotate_bins(deposited, angles)
+        else:
+            angles = [-i * 2.0 * np.pi / d for i in range(d)]
+            rotated = rotate_bins_uniform(deposited, tuple(angles))
         oy = (s - height) // 2
         ox = (s - width) // 2
         return rotated.sum(0)[oy:oy + height, ox:ox + width]
@@ -391,10 +410,10 @@ def rotate_back(fields: RotatedFields, deposited: jax.Array,
     return per_bin.sum(0).reshape(height, width, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
+@functools.partial(jax.jit, static_argnames=("height", "width", "traced_phase"))
 def resolve_raw(fields: RotatedFields, src_accum: jax.Array,
-                height: int, width: int) -> jax.Array:
+                height: int, width: int, traced_phase: bool = False) -> jax.Array:
     """Scan + rotate-back in one jitted call -> raw (H, W, 3) deposit map
     (the analog of the oracle's accumulated `raw`; feed to oracle.to_hdr)."""
     deposited = attenuation_scan(fields, src_accum)
-    return rotate_back(fields, deposited, height, width)
+    return rotate_back(fields, deposited, height, width, traced_phase=traced_phase)

@@ -85,6 +85,19 @@ class RBTForwardIntegrator(ForwardIntegrator):
         # reference's Monte-Carlo direct-light noise (e.g. for denoiser
         # training inputs, which must actually BE noisy).
         self.analytic_direct = True
+        # Bin-fan phase ladder: frame i uses phase ((i mod K)+0.5)/K, which
+        # stratifies the angular cone of each direction bin over K equally
+        # spaced sub-angles — accumulated output integrates the cone exactly
+        # (effective angular resolution D*K; no radial spokes). The ladder is
+        # deterministic so the dual tracers share it and the A/B variance
+        # measure keeps seeing photon noise only. Per-phase rotated fields
+        # are cached and per-phase source buffers accumulate independently,
+        # so steady-state per-frame cost is unchanged; resolve at readout
+        # sums K per-phase resolves (lazy, like the unjittered path).
+        self.jitter_bins = False
+        self.jitter_phases = 8
+        self._phase_fields = {}
+        self._phase_src = {}
         self._fields = None
         self._src = None
         self._resolved = None
@@ -103,21 +116,34 @@ class RBTForwardIntegrator(ForwardIntegrator):
         if gb is not self._gbuffer:
             self._gbuffer = gb
             self._fields = None  # rotated fields are scene-dependent
+            self._phase_fields = {}
         if gb is None:
             self._fields = None
+            self._phase_fields = {}
 
     def clear(self):
         super().clear()
         self._src = None
         self._resolved = None
+        self._phase_src = {}
+        self._mc_direct = None  # scene-derived static specializations
 
     def integrate(self, scene, key) -> jax.Array:
+        from .rbt import zero_sources
+
         gb = self.gbuffer
+        if self.jitter_bins:
+            k = self.iterations_since_clear % self.jitter_phases
+            if k not in self._phase_fields:
+                phase = jnp.float32((k + 0.5) / self.jitter_phases)
+                self._phase_fields[k] = precompute_rotated_fields(
+                    gb, n_bins=self.n_bins, phase=phase)
+            self._fields = self._phase_fields[k]
+            self._src = self._phase_src.get(k)
         if self._fields is None:
             self._fields = precompute_rotated_fields(gb, n_bins=self.n_bins)
             self._src = None
         if self._src is None:
-            from .rbt import zero_sources
             self._src = zero_sources(self._fields)
         self.iterations_since_clear += 1
         override = -1 if self.override_bounce_count is None else int(self.override_bounce_count)
@@ -143,11 +169,26 @@ class RBTForwardIntegrator(ForwardIntegrator):
             light_kinds=self._light_kinds, analytic_direct=self.analytic_direct)
         self.write_count += int(n)
         self._resolved = None
+        if self.jitter_bins:
+            k = (self.iterations_since_clear - 1) % self.jitter_phases
+            self._phase_src[k] = self._src
         return self.output_hdr
 
     @property
     def output_hdr(self) -> jax.Array:
         gb = self.gbuffer
+        if self.jitter_bins:
+            if not self._phase_src:
+                return jnp.zeros((gb.height, gb.width, 3))
+            if self._resolved is None:
+                total = None
+                for k, src in self._phase_src.items():
+                    raw = resolve_raw(self._phase_fields[k], src,
+                                      gb.height, gb.width, traced_phase=True)
+                    total = raw if total is None else total + raw
+                self._resolved = total
+            return to_hdr(self._resolved, jnp.float32(self.iterations_since_clear),
+                          gb, self.finalize_outscatter)
         if self._src is None:
             return jnp.zeros((gb.height, gb.width, 3))
         if self._resolved is None:

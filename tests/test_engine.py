@@ -97,3 +97,44 @@ def test_measure_convergence_is_mean():
 
     cv = jnp.arange(16.0).reshape(4, 4)
     assert float(measure_convergence(cv)) == pytest.approx(7.5)
+
+
+def test_light_move_keeps_gbuffer_and_fields():
+    """Fine-grained change tracking: moving a light resets accumulation but
+    reuses the GBuffer and the RBT rotated-field precompute
+    (reference: ChangeManager dirty groups, ChangeManager.cs:9-94)."""
+    def scene_with_light(x):
+        b = SceneBuilder()
+        b.add_point_light((x, W / 2), radius=1.5, bounces=2)
+        b.add_rect((W / 2, W / 2), (W, W), color=(1, 1, 1, 1), log_density=-1.2)
+        return b.build(max_lights=2, max_shapes=2)
+
+    s = Simulation(width=W, height=W, mode=Mode.REFERENCE, rays_per_frame=512,
+                   frame_limit=2)
+    s.set_scene(scene_with_light(W / 3))
+    s.step()
+    gb = s.gbuffer
+    fields = s.tracer_a.forward._fields
+    assert fields is not None
+
+    s.set_scene(scene_with_light(2 * W / 3))  # light moved, substrate same
+    assert s.iterations_since_clear == 1  # reset happens on next step
+    s.step()
+    assert s.iterations_since_clear == 1  # accumulation was reset
+    assert s.gbuffer is gb                # no re-rasterize
+    assert s.tracer_a.forward._fields is fields  # no field re-rotation
+
+    s.set_scene(scene_with_light(2 * W / 3))  # identical scene: full no-op
+    s.step()
+    assert s.iterations_since_clear == 2
+
+
+def test_realtime_unchanged_scene_keeps_precompute():
+    s = Simulation(width=W, height=W, mode=Mode.REALTIME, rays_per_frame=512)
+    s.set_scene(_scene())
+    s.step()
+    gb = s.gbuffer
+    fields = s.tracer_a.forward._fields
+    s.step()
+    assert s.gbuffer is gb
+    assert s.tracer_a.forward._fields is fields

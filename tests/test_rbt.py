@@ -107,3 +107,30 @@ def test_rbt_shadow_cast(setup):
     lit = lum[W // 2 - 2:W // 2 + 2, W // 4 + 4:W // 2 - 4].mean()   # before blocker
     shadow = lum[W // 2 - 1:W // 2 + 1, W // 2 + 6:W - 8].mean()     # behind blocker
     assert shadow < lit * 0.15, (lit, shadow)
+
+
+def test_rbt_phase_jitter_unbiased(setup):
+    """A jittered bin phase must preserve the closed-form radial profile:
+    fields at phase p transport the same energy, rotated by p*2pi/D."""
+    scene, gb, brdf, _ = setup
+    acc = np.zeros((W, W, 3))
+    frames = 4
+    for f in range(frames):
+        phase = jax.random.uniform(jax.random.fold_in(jax.random.key(7), f))
+        fields = rbt.precompute_rotated_fields(gb, n_bins=64, phase=phase)
+        src = rbt.zero_sources(fields)
+        src, _ = rbt.rbt_trace_frame(fields, src, gb, scene.lights,
+                                     scene.field_textures, brdf,
+                                     jax.random.fold_in(jax.random.key(8), f),
+                                     16384, jnp.int32(1), max_bounces=1)
+        acc += np.asarray(rbt.resolve_raw(fields, src, W, W, traced_phase=True))
+    raw = acc / frames
+    t_texel = (1 - 10**DENSITY_LOG) ** (100 / W)
+    ys, xs = np.mgrid[0:W, 0:W]
+    r = np.hypot(xs + 0.5 - W / 2, ys + 0.5 - W / 2)
+    expected = W * W * t_texel**r / (4 * np.pi**2 * np.maximum(r, 1e-3))
+    lum = raw.mean(-1)
+    for r0, r1 in [(8, 12), (14, 18), (20, 24)]:
+        m = (r >= r0) & (r < r1)
+        ratio = lum[m].mean() / expected[m].mean()
+        assert abs(ratio - 1.0) < 0.08, (r0, r1, ratio)
