@@ -251,12 +251,16 @@ class TrainingFactory:
             sim.set_scene(scene)
             sim._validate_tracers()
 
-            def _configure(analytic_direct: bool):
+            def _configure(analytic_direct: bool, rays: int):
                 for t in sim._tracers:
                     fwd = t.forward
                     if hasattr(fwd, "analytic_direct"):
                         fwd.analytic_direct = analytic_direct
                         fwd.jitter_bins = self.jitter_bins
+                        # Russian-roulette 4x bounce cull: bounce light is
+                        # low-frequency, and the bounce waves are 3/4 of the
+                        # per-frame photon work at 4 bounces (rbt.py).
+                        fwd.bounce_rays = rays // 4
 
             albedo_path = self._path("Albedo_{0:05d}.png", sample_id)
             trans_path = self._path("Transmissibility_{0:05d}.exr", sample_id)
@@ -267,7 +271,8 @@ class TrainingFactory:
                 b_path = self._path(f"Input{k}_Radiance_B_{{0:05d}}.exr", sample_id)
                 if os.path.exists(a_path) and os.path.exists(b_path):
                     continue
-                _configure(analytic_direct=not self.mc_direct_inputs)
+                _configure(analytic_direct=not self.mc_direct_inputs,
+                           rays=profile.rays_per_frame)
                 sim.load_profile(profile)
                 sim.invalidate()
                 sim.run(max_frames=max(profile.frame_limit, 1))
@@ -277,9 +282,9 @@ class TrainingFactory:
             ref_path = self._path("Output_Reference_{0:05d}.exr", sample_id)
             preview_path = self._path("Output_Preview_{0:05d}.png", sample_id)
             if not (os.path.exists(ref_path) and os.path.exists(preview_path)):
-                _configure(analytic_direct=True)
                 profile = dataclasses.replace(
                     self.convergence_profile, frame_limit=-1)
+                _configure(analytic_direct=True, rays=profile.rays_per_frame)
                 sim.load_profile(profile)
                 sim.invalidate()
                 sim.convergence_threshold = self.convergence_threshold

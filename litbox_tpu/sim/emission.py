@@ -30,16 +30,29 @@ from .materials import TWO_PI, unit_from_angle
 from ..scene.scene import Lights
 
 
-def assign_photons_to_lights(lights: Lights, n_photons: int) -> tuple[jax.Array, jax.Array]:
+def assign_photons_to_lights(lights: Lights, n_photons: int,
+                             interleave: int = 1) -> tuple[jax.Array, jax.Array]:
     """Deterministic proportional split of the photon batch across lights.
 
     Returns (light_index (N,), rays_per_light (L,)). Proportions follow
     luminance like ForwardMonteCarlo.Integrate (ForwardMonteCarlo.cs:174-186).
+
+    interleave > 1 permutes the batch ranks arithmetically so that the
+    CONTIGUOUS prefix of n/interleave photons is exactly the
+    every-interleave-th systematic subsample of the canonical order — the
+    Russian-roulette bounce cull then reduces to a free prefix slice instead
+    of a strided one (rbt.py cull). Pure rank arithmetic; no gather.
     """
     w = luminance(lights.energy) * lights.active.astype(jnp.float32)
     cum = jnp.cumsum(w)
     total = cum[-1]
-    t = (jnp.arange(n_photons, dtype=jnp.float32) + 0.5) / n_photons * total
+    rank = jnp.arange(n_photons, dtype=jnp.int32)
+    if interleave > 1:
+        keep = n_photons // interleave
+        body = keep * interleave
+        perm = (rank % keep) * interleave + rank // keep
+        rank = jnp.where(rank < body, perm, rank)
+    t = (rank.astype(jnp.float32) + 0.5) / n_photons * total
     l_idx = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
     l_idx = jnp.minimum(l_idx, lights.capacity - 1)
     rays_per_light = jnp.sum(

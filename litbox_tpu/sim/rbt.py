@@ -48,18 +48,20 @@ from .emission import assign_photons_to_lights, emit
 from .materials import scatter_materially
 
 LOGT_CLAMP = -20.0  # per-texel transmissibility floor e^-20 ~ 2e-9 (opaque)
+COARSE = 16         # free-flight search: coarse subsample stride of C rows
 
 
 @pytree_dataclass
 class RotatedFields:
     """Per-bin rotated transport fields (frame-constant per scene)."""
 
-    cos: jax.Array       # (D,)
-    sin: jax.Array       # (D,)
-    trans: jax.Array     # (D, S, S) per-cell transmissibility along rows
-    cum_log: jax.Array   # (D, S, S) cumulative log-transmissibility C
-    center: jax.Array    # (2,) target-frame center
-    phase: jax.Array     # () bin-fan phase offset in bin units, [0, 1)
+    cos: jax.Array        # (D,)
+    sin: jax.Array        # (D,)
+    trans: jax.Array      # (D, S, S) per-cell transmissibility along rows
+    cum_log: jax.Array    # (D, S, S) cumulative log-transmissibility C
+    cum_coarse: jax.Array # (D, S, S/COARSE) C[..., COARSE-1::COARSE] subsample
+    center: jax.Array     # (2,) target-frame center
+    phase: jax.Array      # () bin-fan phase offset in bin units, [0, 1)
 
     @property
     def n_bins(self) -> int:
@@ -101,14 +103,11 @@ def precompute_rotated_fields(gbuffer: GBuffer, n_bins: int = 128,
     points = jnp.stack([px, py], axis=-1).reshape(-1, 2)
 
     logt_rot = gather_bilinear_mxu(logt, points).reshape(d, s, s)
+    cum_log = jnp.cumsum(logt_rot, axis=-1)
     return RotatedFields(cos=cos, sin=sin, trans=jnp.exp(logt_rot),
-                         cum_log=jnp.cumsum(logt_rot, axis=-1), center=center,
-                         phase=phase)
-
-
-def _row_extract(values: jax.Array, weights: jax.Array) -> jax.Array:
-    """sum_x rows[., x] * w[., x] — dense per-photon row reduction."""
-    return jnp.sum(values * weights, axis=-1)
+                         cum_log=cum_log,
+                         cum_coarse=cum_log[..., COARSE - 1::COARSE],
+                         center=center, phase=phase)
 
 
 def _inject_flat(src_accum: tuple, flat_idx: jax.Array, energy: jax.Array) -> tuple:
@@ -226,7 +225,6 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
     height, width = gbuffer.transmissibility.shape
     d_bins, s = fields.n_bins, fields.size
     bin_width = 2 * jnp.pi / d_bins
-    xs = jnp.arange(s, dtype=jnp.float32)
 
     k_emit, key = jax.random.split(key)
     # With all-analytic direct lighting only the bounce-chain photons do any
@@ -235,7 +233,10 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
     # per-photon energy renormalizes to the emitted count).
     n_emit = (bounce_photons if (not mc_direct and 0 < bounce_photons < n_photons)
               else n_photons)
-    l_idx, rays_per_light = assign_photons_to_lights(lights, n_emit)
+    culling = mc_direct and 0 < bounce_photons < n_emit
+    l_idx, rays_per_light = assign_photons_to_lights(
+        lights, n_emit,
+        interleave=n_emit // bounce_photons if culling else 1)
     # interval=1: RBT deposits are exact line integrals; the reference's
     # 1/interval emission factor and interval^2 deposit factor cancel.
     pos, direction, energy, bounces = emit(
@@ -253,18 +254,19 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
         analytic_mask = jnp.zeros(n_photons, bool)
 
     def cull(arrs, keep):
+        # Contiguous prefix: emission ranks are pre-permuted (see
+        # _interleave_ranks) so photons are light-stratified by position and
+        # a prefix slice is an unbiased systematic subsample. A strided
+        # slice here instead costs ~60 ms at 2M photons (XLA re-fuses each
+        # slice into its full producer chain).
         stride = arrs[0].shape[0] // keep
-        return [a[::stride][:keep] for a in arrs], jnp.float32(stride)
+        return [a[:keep] for a in arrs], jnp.float32(stride)
 
     # One packed material field -> one gather per photon per wave instead
     # of two (XLA TPU gathers are the per-photon cost floor).
     material = jnp.concatenate([gbuffer.normal, gbuffer.albedo[..., :3]], -1)
 
     for wave in range(max_bounces):
-        if wave == 1 and mc_direct and 0 < bounce_photons < pos.shape[0]:
-            (pos, direction, energy, bounces, dead, analytic_mask), scale = cull(
-                [pos, direction, energy, bounces, dead, analytic_mask], bounce_photons)
-            energy = energy * scale
         n = pos.shape[0]
         key, k_tp, k_scatter = jax.random.split(key, 3)
         live = (~dead) & (wave < bounces)
@@ -288,13 +290,30 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
         if wave > 0 or mc_direct:
             inject = live if wave > 0 else live & ~analytic_mask
             flat = (b * s + iy) * s + ix
-            src_accum = _inject_flat(src_accum, flat,
-                                     jnp.where(inject[:, None], energy, 0.0))
+            e_masked = jnp.where(inject[:, None], energy, 0.0)
+            import os
+
+            if jax.default_backend() == "tpu" and os.environ.get("LITBOX_INJECT_SORTED"):
+                # Pallas sorted-merge scatter (ops/inject.py). Kept opt-in:
+                # measured 50 ms vs 20 ms for XLA's flat scatter at 2M
+                # updates on v5e-lite (the 9216-step grid's fixed overhead
+                # dominates its bandwidth win at this target size).
+                from ..ops.inject import inject_sorted
+
+                flat_m = jnp.where(inject, flat, jnp.iinfo(jnp.int32).max)
+                src_accum = inject_sorted(src_accum, flat_m, e_masked)
+            else:
+                src_accum = _inject_flat(src_accum, flat, e_masked)
 
         # --- free flight on the photon's row ---
+        # Full (N, S) row gathers run at HBM bandwidth on TPU (~8 ms for 2M
+        # x 384 rows); narrow 32-wide gathers from the same table measured
+        # 300x slower (latency-bound — no gather unit), so the dense
+        # row-reduction formulation wins despite touching S times more data.
+        xs = jnp.arange(s, dtype=jnp.float32)
         rows = fields.cum_log.reshape(d_bins * s, s)[b * s + iy]   # (N, S)
         tent_x0 = jnp.maximum(0.0, 1.0 - jnp.abs((xr - 0.5)[:, None] - xs))
-        c0 = _row_extract(rows, tent_x0)
+        c0 = jnp.sum(rows * tent_x0, axis=-1)
         c_end = rows[:, -1]
         t_esc = jnp.exp(jnp.clip(c_end - c0, -60.0, 0.0))
 
@@ -304,8 +323,10 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
         found = live & (x_star < s) & (x_star > 0)
         x_star = jnp.clip(x_star, 1, s - 1)
 
-        c_at = _row_extract(rows, (xs[None, :] == x_star[:, None]).astype(jnp.float32))
-        c_prev = _row_extract(rows, (xs[None, :] == (x_star - 1)[:, None]).astype(jnp.float32))
+        c_at = jnp.sum(jnp.where(xs[None, :] == x_star[:, None].astype(jnp.float32),
+                                 rows, 0.0), axis=-1)
+        c_prev = jnp.sum(jnp.where(xs[None, :] == (x_star - 1)[:, None].astype(jnp.float32),
+                                   rows, 0.0), axis=-1)
         frac = jnp.clip((c_prev - thr) / (c_prev - c_at - 1e-12), 0.0, 1.0)
         hit_x = x_star.astype(jnp.float32) - 0.5 + frac
 
@@ -313,14 +334,31 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
         hy = yr - s / 2.0
         p_hit = jnp.stack([cb * hx - sb * hy, sb * hx + cb * hy], -1) + fields.center
 
+        if wave == max_bounces - 1:
+            break  # the last wave's deposits are in; no continuation needed
+
+        # Russian-roulette culling happens BEFORE the material gather: the
+        # full batch had to fly (its wave deposits are the signal) but only
+        # the survivors need a material lookup and scatter — at 2M-photon
+        # frames with 4x culling this removes 3/4 of the most
+        # gather-bound stage (strided systematic subsampling is unbiased;
+        # photons are exchangeable within each light's contiguous block).
+        if wave == 0 and mc_direct and 0 < bounce_photons < n:
+            (pos, direction, energy, bounces, dead,
+             p_hit, found, t_esc, live), scale = cull(
+                [pos, direction, energy, bounces, dead,
+                 p_hit, found, t_esc, live], bounce_photons)
+            energy = energy * scale
+
         # --- material scatter at the interaction point ---
+        m = pos.shape[0]
         gx = jnp.clip(jnp.floor(p_hit[:, 0]).astype(jnp.int32), 0, width - 1)
         gy = jnp.clip(jnp.floor(p_hit[:, 1]).astype(jnp.int32), 0, height - 1)
         mat = material[gy, gx]
         normal4 = mat[:, :4]
         albedo = mat[:, 4:7]
 
-        rand3 = jax.random.uniform(k_scatter, (n, 3))
+        rand3 = jax.random.uniform(k_scatter, (m, 3))
         new_dir, mat_scale, pushback = scatter_materially(
             brdf_lut, normal4, direction, rand3, fast=True, enable_brdf=enable_brdf)
 

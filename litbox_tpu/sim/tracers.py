@@ -35,9 +35,18 @@ class ForwardIntegrator:
         self.max_bounces = 4
         self.gbuffer: GBuffer | None = None
         self.iterations_since_clear = 0
-        self.write_count = 0
+        self._write_count = 0
         self._accum = None
         self._brdf = jnp.asarray(luts.brdf_lut())
+
+    @property
+    def write_count(self) -> int:
+        """Total photons traced since clear. Accumulated as a device scalar
+        so the per-frame loop never blocks on a host readback (the ~30 ms
+        tunnel RTT per fetch would dominate dataset-generation frames);
+        reading this property is the only sync point (the async-readback
+        pattern of ForwardMonteCarlo.GetCurrentWriteCountAsync)."""
+        return int(self._write_count)
 
     @property
     def interval_texels(self) -> float:
@@ -46,7 +55,7 @@ class ForwardIntegrator:
 
     def clear(self):
         self.iterations_since_clear = 0
-        self.write_count = 0
+        self._write_count = 0
         self._accum = None
 
     def integrate(self, scene, key) -> jax.Array:
@@ -60,7 +69,7 @@ class ForwardIntegrator:
             self.rays_to_emit, float(self.interval_texels), jnp.int32(override),
             max_bounces=self.max_bounces, bilinear=self.bilinear_writes)
         self._accum = self._accum + raw
-        self.write_count += int(wc)
+        self._write_count = self._write_count + wc  # device-side; no sync
         return self.output_hdr
 
     @property
@@ -167,7 +176,7 @@ class RBTForwardIntegrator(ForwardIntegrator):
             max_bounces=self.max_bounces, bounce_photons=self.bounce_rays,
             mc_direct=self._mc_direct, enable_brdf=self._enable_brdf,
             light_kinds=self._light_kinds, analytic_direct=self.analytic_direct)
-        self.write_count += int(n)
+        self._write_count = self._write_count + n  # device-side; no sync
         self._resolved = None
         if self.jitter_bins:
             k = (self.iterations_since_clear - 1) % self.jitter_phases

@@ -134,3 +134,22 @@ def test_rbt_phase_jitter_unbiased(setup):
         m = (r >= r0) & (r < r1)
         ratio = lum[m].mean() / expected[m].mean()
         assert abs(ratio - 1.0) < 0.08, (r0, r1, ratio)
+
+
+def test_rbt_bounce_culling_unbiased(setup):
+    """Russian-roulette culling after wave 0 (cull-before-material-gather)
+    must preserve total deposited energy in expectation."""
+    scene, gb, brdf, fields = setup
+
+    def total(bounce_photons, key):
+        src = rbt.zero_sources(fields)
+        src, _ = rbt.rbt_trace_frame(
+            fields, src, gb, scene.lights, scene.field_textures, brdf,
+            key, 16384, jnp.int32(2), max_bounces=2,
+            mc_direct=True, analytic_direct=False,
+            bounce_photons=bounce_photons)
+        return float(np.asarray(rbt.resolve_raw(fields, src, W, W)).sum())
+
+    full = np.mean([total(0, jax.random.key(20 + i)) for i in range(2)])
+    culled = np.mean([total(4096, jax.random.key(30 + i)) for i in range(2)])
+    assert abs(culled / full - 1) < 0.05, (full, culled)
