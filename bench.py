@@ -86,7 +86,7 @@ def main():
                 jax.random.fold_in(key, i), RAYS_PER_FRAME, jnp.int32(-1),
                 max_bounces=BOUNCES, bounce_photons=BOUNCE_RAYS,
                 mc_direct=True, analytic_direct=False,
-                enable_brdf=False, light_kinds=(1,))
+                enable_brdf=False, light_kinds=(1,), hist_direct=True)
             return src, n
         src, _ = jax.lax.scan(body, src, jnp.arange(FRAMES))
         return src[0][0, 0, 0]

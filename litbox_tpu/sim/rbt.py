@@ -42,10 +42,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.types import LIGHT_POINT, GBuffer, pytree_dataclass
+from ..core.types import LIGHT_POINT, GBuffer, affine_linear, pytree_dataclass
 from ..ops.resample import gather_bilinear_mxu
-from .emission import assign_photons_to_lights, emit
-from .materials import scatter_materially
+from .emission import (
+    assign_photons_to_lights,
+    emit,
+    emit_point_stratified,
+    take_per_light,
+)
+from .materials import TWO_PI, scatter_materially, unit_from_angle
 
 LOGT_CLAMP = -20.0  # per-texel transmissibility floor e^-20 ~ 2e-9 (opaque)
 COARSE = 16         # free-flight search: coarse subsample stride of C rows
@@ -197,181 +202,385 @@ def _analytic_point_sources(src_accum: jax.Array, lights, light_mask,
                         jnp.concatenate(all_vals))
 
 
+def _rotated_coords(fields: RotatedFields, pos: jax.Array,
+                    cb: jax.Array, sb: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Target-frame position -> (xr, yr) in the bin frame of angle (cb, sb)."""
+    s = fields.size
+    rel = pos - fields.center
+    xr = cb * rel[..., 0] + sb * rel[..., 1] + s / 2.0
+    yr = -sb * rel[..., 0] + cb * rel[..., 1] + s / 2.0
+    return xr, yr
+
+
+def _row_flight_math(rows: jax.Array, xr: jax.Array, u_tp: jax.Array,
+                     live: jax.Array, s: int):
+    """Distance-sampled free flight on extracted cum-log rows (..., S).
+
+    The reference's free-flight sampling tp ~ U[T_esc, 1]
+    (ForwardMonteCarlo.compute:209-214) inverts to the first column where
+    C drops below C[x0] + ln(tp): a dense compare-count over the row
+    (C is non-increasing, so the count IS the searchsorted index).
+    Returns (hit_x, t_esc, found).
+    """
+    xs = jnp.arange(s, dtype=jnp.float32)
+    tent_x0 = jnp.maximum(0.0, 1.0 - jnp.abs((xr - 0.5)[..., None] - xs))
+    c0 = jnp.sum(rows * tent_x0, axis=-1)
+    c_end = rows[..., -1]
+    t_esc = jnp.exp(jnp.clip(c_end - c0, -60.0, 0.0))
+
+    tp = t_esc + u_tp * (1.0 - t_esc)
+    thr = c0 + jnp.log(jnp.maximum(tp, 1e-30))
+    x_star = jnp.sum((rows >= thr[..., None]).astype(jnp.int32), axis=-1)
+    found = live & (x_star < s) & (x_star > 0)
+    x_star = jnp.clip(x_star, 1, s - 1)
+
+    xsf = x_star.astype(jnp.float32)
+    c_at = jnp.sum(jnp.where(xs == xsf[..., None], rows, 0.0), axis=-1)
+    c_prev = jnp.sum(jnp.where(xs == (xsf - 1.0)[..., None], rows, 0.0), axis=-1)
+    frac = jnp.clip((c_prev - thr) / (c_prev - c_at - 1e-12), 0.0, 1.0)
+    hit_x = xsf - 0.5 + frac
+    return hit_x, t_esc, found
+
+
+def _flight_rows(fields: RotatedFields, pos: jax.Array, direction: jax.Array,
+                 live: jax.Array, u_tp: jax.Array):
+    """Generic free flight for a flat photon batch with arbitrary directions.
+
+    Row extraction is an XLA row gather from the (D*S, S) table — HBM
+    bandwidth/latency-bound (~8 ms at 524K photons on v5e). Used for bounce
+    waves >= 1 where directions are scattered; wave 0 uses the sort-free
+    stratified path (_flight_stratified) when emission can pre-bin photons.
+    """
+    d_bins, s = fields.n_bins, fields.size
+    bin_width = 2 * jnp.pi / d_bins
+    theta = jnp.arctan2(direction[:, 1], direction[:, 0])
+    b = jnp.round(theta / bin_width - fields.phase).astype(jnp.int32) % d_bins
+    ang = (b.astype(jnp.float32) + fields.phase) * bin_width
+    cb, sb = jnp.cos(ang), jnp.sin(ang)
+
+    xr, yr = _rotated_coords(fields, pos, cb, sb)
+    iy = jnp.clip(jnp.floor(yr).astype(jnp.int32), 0, s - 1)
+    rows = fields.cum_log.reshape(d_bins * s, s)[b * s + iy]   # (N, S)
+    hit_x, t_esc, found = _row_flight_math(rows, xr, u_tp, live, s)
+
+    hx = hit_x - s / 2.0
+    hy = yr - s / 2.0
+    p_hit = jnp.stack([cb * hx - sb * hy, sb * hx + cb * hy], -1) + fields.center
+    return p_hit, t_esc, found
+
+
+def _flight_stratified(fields: RotatedFields, pos: jax.Array, live: jax.Array,
+                       u_tp: jax.Array):
+    """Free flight for a direction-stratified (D, cap) photon layout.
+
+    Photons of scan step d are in bin d by construction (emit_point_
+    stratified), so row extraction is a one-hot matmul against the bin's
+    (S, S) cum-log block — MXU work at ~2.5 ms per 524K photons on v5e vs
+    ~8 ms for the XLA row gather ("the MXU is the TPU's gather unit").
+    f32 matmul: measured within 6% of bf16 here, and the cum-log dynamic
+    range (|C| up to ~LOGT_CLAMP*S) makes bf16 thresholds unsafe.
+    """
+    s = fields.size
+
+    def per_bin(_, args):
+        cum_d, cb, sb, pos_d, live_d, u_d = args
+        xr, yr = _rotated_coords(fields, pos_d, cb, sb)
+        iy = jnp.clip(jnp.floor(yr).astype(jnp.int32), 0, s - 1)
+        rows = jnp.dot(jax.nn.one_hot(iy, s, dtype=jnp.float32), cum_d,
+                       preferred_element_type=jnp.float32)
+        hit_x, t_esc, found = _row_flight_math(rows, xr, u_d, live_d, s)
+        hx = hit_x - s / 2.0
+        hy = yr - s / 2.0
+        p_hit = (jnp.stack([cb * hx - sb * hy, sb * hx + cb * hy], -1)
+                 + fields.center)
+        return 0, (p_hit, t_esc, found)
+
+    _, (p_hit, t_esc, found) = jax.lax.scan(
+        per_bin, 0,
+        (fields.cum_log, fields.cos, fields.sin, pos, live, u_tp))
+    return p_hit, t_esc, found
+
+
+def _mc_point_hist_sources(src_accum: tuple, lights, fields: RotatedFields,
+                           n_photons: int, key, override_bounces,
+                           pixel_count: float) -> tuple[tuple, int]:
+    """Monte-Carlo direct injection for all-point-light scenes, aggregated
+    as a per-(bin, light) stamp histogram instead of a 2M-wide scatter.
+
+    Each of the n photons samples its disk position and direction bin
+    individually (directions bin-stratified, see emit_point_stratified);
+    because a point light's wave-0 cells all land inside a STAMP-wide bbox
+    around its rotated center, per-photon deposits reduce to a local-cell
+    histogram — a fused one-hot reduction (~1.5 ms at 2M photons) — plus a
+    D*L*STAMP^2-cell scatter of the aggregate. The XLA flat scatter this
+    replaces costs ~20 ms at 2M updates (HBM random RMW bound).
+
+    Energy accounting matches emit(): every photon of light l carries
+    energy_l * (W*H) / (2pi * rays_l); the histogram multiplies counts by
+    that constant. Requires every active light to pass analytic_light_mask
+    geometry (radius < STAMP/2 - 1) so the stamp never clips.
+    """
+    d_bins, s = fields.n_bins, fields.size
+    capacity = lights.capacity
+    stamp = ANALYTIC_STAMP
+    cap = -(-n_photons // d_bins)
+    n_emitted = cap * d_bins
+
+    l_of_slot, slots = assign_photons_to_lights(lights, cap)
+    aff = take_per_light(lights.affine, l_of_slot)             # (cap, 2, 3)
+    rel_slot = aff[:, :, 2] - fields.center                    # (cap, 2)
+
+    # Disk offsets in the target frame (light affine scales/rotates).
+    u = jax.random.uniform(key, (d_bins, cap, 2))
+    disk = unit_from_angle(u[..., 0] * TWO_PI) * jnp.sqrt(u[..., 1])[..., None]
+    off = affine_linear(aff[None], disk)                       # (D, cap, 2)
+
+    # Per-(bin, light) stamp anchors from the exact light centers.
+    centers = lights.affine[:, :, 2]                           # (L, 2)
+    relc = centers - fields.center
+    cb, sb = fields.cos[:, None], fields.sin[:, None]          # (D, 1)
+    cxl = cb * relc[None, :, 0] + sb * relc[None, :, 1] + s / 2.0   # (D, L)
+    cyl = -sb * relc[None, :, 0] + cb * relc[None, :, 1] + s / 2.0
+    axl = jnp.clip(jnp.floor(cxl).astype(jnp.int32) - stamp // 2, 0, s - stamp)
+    ayl = jnp.clip(jnp.floor(cyl).astype(jnp.int32) - stamp // 2, 0, s - stamp)
+
+    # Photon cells in each bin frame (vectorized over D x cap; no scan).
+    cbp, sbp = fields.cos[:, None], fields.sin[:, None]        # (D, 1)
+    xr = (cbp * rel_slot[None, :, 0] + sbp * rel_slot[None, :, 1] + s / 2.0
+          + cbp * off[..., 0] + sbp * off[..., 1])
+    yr = (-sbp * rel_slot[None, :, 0] + cbp * rel_slot[None, :, 1] + s / 2.0
+          - sbp * off[..., 0] + cbp * off[..., 1])
+    ix = jnp.floor(xr).astype(jnp.int32)
+    iy = jnp.floor(yr).astype(jnp.int32)
+    ax_slot = take_per_light(axl.T, l_of_slot).T               # (D, cap)
+    ay_slot = take_per_light(ayl.T, l_of_slot).T
+    lx = jnp.clip(ix - ax_slot, 0, stamp - 1)
+    ly = jnp.clip(iy - ay_slot, 0, stamp - 1)
+    col = l_of_slot[None] * (stamp * stamp) + ly * stamp + lx  # (D, cap)
+
+    # Fused one-hot count reduction (XLA keeps the one-hot virtual).
+    counts = jnp.sum(
+        jax.nn.one_hot(col, capacity * stamp * stamp, dtype=jnp.float32),
+        axis=1).reshape(d_bins, capacity, stamp * stamp)
+
+    # Per-light photon energy constant (same for every slot of a light).
+    bounces_l = jnp.where(override_bounces >= 0, override_bounces, lights.bounces)
+    rays_l = jnp.maximum(slots * d_bins, 1).astype(jnp.float32)
+    e_l = (lights.energy * (pixel_count / TWO_PI) / rays_l[:, None]
+           * lights.active.astype(jnp.float32)[:, None]
+           * (bounces_l > 0).astype(jnp.float32)[:, None])     # (L, 3)
+    vals = counts[..., None] * e_l[None, :, None, :]           # (D, L, S^2c, 3)
+
+    # Aggregate scatter: D*L*stamp^2 cells.
+    oy = jnp.arange(stamp, dtype=jnp.int32)
+    ox = jnp.arange(stamp, dtype=jnp.int32)
+    gy = ayl[:, :, None, None] + oy[None, None, :, None]       # (D, L, st, st)
+    gx = axl[:, :, None, None] + ox[None, None, None, :]
+    flat = ((jnp.arange(d_bins, dtype=jnp.int32)[:, None, None, None] * s + gy)
+            * s + gx)
+    return (_inject_flat(src_accum, flat.reshape(-1), vals.reshape(-1, 3)),
+            n_emitted)
+
+
+def _mc_scatter_sources(src_accum: tuple, lights, field_textures,
+                        fields: RotatedFields, gbuffer: GBuffer,
+                        n_photons: int, key, override_bounces,
+                        light_kinds, exclude_analytic: bool) -> tuple:
+    """Generic Monte-Carlo direct injection: emit n photons across all
+    lights and flat-scatter their energy at their rotated emission cells
+    (the TPU expression of WritePhoton's InterlockedAdd,
+    ForwardMonteCarlo.compute:68-86)."""
+    height, width = gbuffer.transmissibility.shape
+    d_bins, s = fields.n_bins, fields.size
+    bin_width = 2 * jnp.pi / d_bins
+
+    l_idx, rays_per_light = assign_photons_to_lights(lights, n_photons)
+    pos, direction, energy, bounces = emit(
+        lights, field_textures, l_idx, rays_per_light, key,
+        (height, width), jnp.float32(1.0), override_bounces,
+        active_kinds=light_kinds)
+
+    inject = bounces > 0
+    if exclude_analytic:
+        inject &= ~take_per_light(analytic_light_mask(lights), l_idx)
+
+    theta = jnp.arctan2(direction[:, 1], direction[:, 0])
+    b = jnp.round(theta / bin_width - fields.phase).astype(jnp.int32) % d_bins
+    ang = (b.astype(jnp.float32) + fields.phase) * bin_width
+    xr, yr = _rotated_coords(fields, pos, jnp.cos(ang), jnp.sin(ang))
+    ix = jnp.clip(jnp.floor(xr).astype(jnp.int32), 0, s - 1)
+    iy = jnp.clip(jnp.floor(yr).astype(jnp.int32), 0, s - 1)
+    flat = (b * s + iy) * s + ix
+    return _inject_flat(src_accum, flat, jnp.where(inject[:, None], energy, 0.0))
+
+
+def _bounce_chains(src_accum: tuple, fields: RotatedFields, gbuffer: GBuffer,
+                   lights, field_textures, brdf_lut, key, k_photons: int,
+                   override_bounces, max_bounces: int, enable_brdf: bool,
+                   light_kinds, stratified: bool) -> tuple:
+    """Trace k bounce chains and inject their wave >= 1 deposits.
+
+    The chains are the Russian-roulette continuation of the frame's photon
+    batch: a fresh emission of k photons is identical in distribution to
+    keeping a uniform k-subset of the n direct photons (photons are iid),
+    and emit() normalizes per-photon energy by k, which IS the n/k
+    roulette rescale. Direct (wave-0) deposits are NOT injected here —
+    the direct phase covered all n photons.
+    """
+    height, width = gbuffer.transmissibility.shape
+    d_bins, s = fields.n_bins, fields.size
+    bin_width = 2 * jnp.pi / d_bins
+    k_emit, key = jax.random.split(key)
+
+    # One packed material field -> one lookup per photon per wave instead
+    # of two (per-photon random access is the per-wave cost floor).
+    material = jnp.concatenate([gbuffer.normal, gbuffer.albedo[..., :3]], -1)
+
+    wave0 = None
+    if stratified:
+        cap = -(-k_photons // d_bins)
+        l_of_slot, slots = assign_photons_to_lights(lights, cap)
+        pos, direction, energy, bounces = emit_point_stratified(
+            lights, l_of_slot, slots, d_bins, fields.phase, k_emit,
+            (height, width), jnp.float32(1.0), override_bounces)
+        key, k_tp = jax.random.split(key)
+        live0 = 0 < bounces
+        u_tp = jax.random.uniform(k_tp, bounces.shape)
+        p_hit, t_esc, found = _flight_stratified(fields, pos, live0, u_tp)
+        flat = lambda a: a.reshape((d_bins * cap,) + a.shape[2:])
+        pos, direction, energy, bounces = map(
+            flat, (pos, direction, energy, bounces))
+        wave0 = (flat(p_hit), flat(t_esc), flat(found))
+    else:
+        l_idx, rays_per_light = assign_photons_to_lights(lights, k_photons)
+        pos, direction, energy, bounces = emit(
+            lights, field_textures, l_idx, rays_per_light, k_emit,
+            (height, width), jnp.float32(1.0), override_bounces,
+            active_kinds=light_kinds)
+
+    m = pos.shape[0]
+    dead = jnp.zeros(m, bool)
+    on_tpu = jax.default_backend() == "tpu"
+
+    for wave in range(max_bounces - 1):
+        key, k_tp, k_scatter = jax.random.split(key, 3)
+        live = (~dead) & (wave < bounces)
+
+        if wave == 0 and wave0 is not None:
+            p_hit, t_esc, found = wave0
+        else:
+            u_tp = jax.random.uniform(k_tp, (m,))
+            p_hit, t_esc, found = _flight_rows(fields, pos, direction, live, u_tp)
+        dead = dead | (live & ~found)
+
+        # --- material lookup + scatter at the interaction point ---
+        if on_tpu:
+            # Nearest lookup as a factorized tent matmul at texel centers
+            # (ops/resample.py): ~4.6 ms vs ~5.8 ms XLA gather at 524K.
+            centers = jnp.stack(
+                [jnp.clip(jnp.floor(p_hit[:, 0]), 0, width - 1) + 0.5,
+                 jnp.clip(jnp.floor(p_hit[:, 1]), 0, height - 1) + 0.5], -1)
+            mat = gather_bilinear_mxu(material, centers)
+        else:
+            gx = jnp.clip(jnp.floor(p_hit[:, 0]).astype(jnp.int32), 0, width - 1)
+            gy = jnp.clip(jnp.floor(p_hit[:, 1]).astype(jnp.int32), 0, height - 1)
+            mat = material[gy, gx]
+        normal4 = mat[:, :4]
+        albedo = mat[:, 4:7]
+
+        rand3 = jax.random.uniform(k_scatter, (m, 3))
+        new_dir, mat_scale, pushback = scatter_materially(
+            brdf_lut, normal4, direction, rand3, fast=True,
+            enable_brdf=enable_brdf)
+
+        bounced = found
+        energy = jnp.where(bounced[:, None],
+                           energy * albedo * ((1.0 - t_esc) * mat_scale)[:, None],
+                           energy)
+        pos = jnp.where(bounced[:, None], p_hit + pushback + new_dir, pos)
+        direction = jnp.where(bounced[:, None], new_dir, direction)
+
+        # --- inject the bounce deposit at the new position ---
+        live_next = (~dead) & (wave + 1 < bounces)
+        theta = jnp.arctan2(direction[:, 1], direction[:, 0])
+        b = jnp.round(theta / bin_width - fields.phase).astype(jnp.int32) % d_bins
+        ang = (b.astype(jnp.float32) + fields.phase) * bin_width
+        xr, yr = _rotated_coords(fields, pos, jnp.cos(ang), jnp.sin(ang))
+        ix = jnp.clip(jnp.floor(xr).astype(jnp.int32), 0, s - 1)
+        iy = jnp.clip(jnp.floor(yr).astype(jnp.int32), 0, s - 1)
+        src_accum = _inject_flat(
+            src_accum, (b * s + iy) * s + ix,
+            jnp.where(live_next[:, None], energy, 0.0))
+    return src_accum
+
+
 @functools.partial(jax.jit, static_argnames=(
     "n_photons", "max_bounces", "analytic_direct", "bounce_photons",
-    "mc_direct", "enable_brdf", "light_kinds"),
+    "mc_direct", "enable_brdf", "light_kinds", "hist_direct"),
     donate_argnames=("src_accum",))
 def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffer,
                     lights, field_textures, brdf_lut, key,
                     n_photons: int, override_bounces, max_bounces: int = 4,
                     analytic_direct: bool = True, bounce_photons: int = 0,
                     mc_direct: bool = True, enable_brdf: bool = True,
-                    light_kinds: tuple | None = None):
-    """Trace one frame's photons; accumulate sources into src_accum (D,S,S,3).
+                    light_kinds: tuple | None = None,
+                    hist_direct: bool = False):
+    """Trace one frame's photons; accumulate sources into src_accum.
 
     Returns (src_accum, photons_emitted); src_accum is the per-channel
     source buffer tuple (3 x (D, S, S)). The lightmap itself is produced by
-    resolve_raw (deferred scan + rotate-back). With analytic_direct,
-    point lights' wave-0 deposits are injected as their exact expectation
-    (zero direct-light noise); their photons still trace for bounce waves.
+    resolve_raw (deferred scan + rotate-back).
 
-    bounce_photons > 0 enables Russian-roulette culling after wave 0: a
-    strided 1-in-(N/K) systematic subsample survives with energy scaled by
-    N/K (photons are exchangeable within each light's contiguous block, so
-    strided selection is unbiased). Bounce lighting is low-frequency, so a
-    fraction of the direct-wave photon count suffices, and the per-wave
-    scatter-injection cost (the HBM random-RMW bound) drops with it.
+    The frame is two decoupled estimator phases (equal in distribution to
+    the reference's single photon loop, ForwardMonteCarlo.compute:107-216):
+
+      1. DIRECT: all n photons' wave-0 deposits. analytic_direct injects
+         maskable point lights' exact expectation (zero-variance);
+         mc_direct samples per-photon deposits — via the stamp-histogram
+         fast path (hist_direct, all-point scenes) or a generic scatter.
+      2. BOUNCE: k = bounce_photons chains (Russian roulette, energy
+         renormalized by emission) fly, scatter materially, and inject
+         wave >= 1 deposits. Fresh emission of k chains is identical in
+         distribution to subsampling k of the n direct photons, because
+         photons are iid within each light.
+
+    Splitting the phases is what lets the roulette cull happen BEFORE the
+    expensive per-photon flight: wave-0 free flights are only computed for
+    the k continuing chains (the direct deposits never needed them — RBT
+    deposits are injection + the deferred attenuation scan).
+
+    hist_direct (static) requires every active light to be a point light
+    passing analytic_light_mask geometry; the tracer host derives it from
+    scene content (tracers.py), like the reference's per-light kernel
+    selection (ForwardMonteCarlo.cs:203-265).
     """
     height, width = gbuffer.transmissibility.shape
-    d_bins, s = fields.n_bins, fields.size
-    bin_width = 2 * jnp.pi / d_bins
-
-    k_emit, key = jax.random.split(key)
-    # With all-analytic direct lighting only the bounce-chain photons do any
-    # work, so emit exactly that many (identical in distribution to emitting
-    # n_photons and Russian-roulette culling — photons are exchangeable and
-    # per-photon energy renormalizes to the emitted count).
-    n_emit = (bounce_photons if (not mc_direct and 0 < bounce_photons < n_photons)
-              else n_photons)
-    culling = mc_direct and 0 < bounce_photons < n_emit
-    l_idx, rays_per_light = assign_photons_to_lights(
-        lights, n_emit,
-        interleave=n_emit // bounce_photons if culling else 1)
-    # interval=1: RBT deposits are exact line integrals; the reference's
-    # 1/interval emission factor and interval^2 deposit factor cancel.
-    pos, direction, energy, bounces = emit(
-        lights, field_textures, l_idx, rays_per_light, k_emit,
-        (height, width), jnp.float32(1.0), override_bounces,
-        active_kinds=light_kinds)
-    dead = jnp.zeros(n_emit, bool)
+    k_direct, k_bounce = jax.random.split(key)
+    n_emitted = n_photons
 
     if analytic_direct:
         light_mask = analytic_light_mask(lights)
-        analytic_mask = light_mask[l_idx]
         src_accum = _analytic_point_sources(src_accum, lights, light_mask,
                                             fields, float(width * height))
-    else:
-        analytic_mask = jnp.zeros(n_photons, bool)
+    if mc_direct:
+        if hist_direct:
+            src_accum, n_emitted = _mc_point_hist_sources(
+                src_accum, lights, fields, n_photons, k_direct,
+                override_bounces, float(width * height))
+        else:
+            src_accum = _mc_scatter_sources(
+                src_accum, lights, field_textures, fields, gbuffer,
+                n_photons, k_direct, override_bounces, light_kinds,
+                exclude_analytic=analytic_direct)
 
-    def cull(arrs, keep):
-        # Contiguous prefix: emission ranks are pre-permuted (see
-        # _interleave_ranks) so photons are light-stratified by position and
-        # a prefix slice is an unbiased systematic subsample. A strided
-        # slice here instead costs ~60 ms at 2M photons (XLA re-fuses each
-        # slice into its full producer chain).
-        stride = arrs[0].shape[0] // keep
-        return [a[:keep] for a in arrs], jnp.float32(stride)
-
-    # One packed material field -> one gather per photon per wave instead
-    # of two (XLA TPU gathers are the per-photon cost floor).
-    material = jnp.concatenate([gbuffer.normal, gbuffer.albedo[..., :3]], -1)
-
-    for wave in range(max_bounces):
-        n = pos.shape[0]
-        key, k_tp, k_scatter = jax.random.split(key, 3)
-        live = (~dead) & (wave < bounces)
-
-        theta = jnp.arctan2(direction[:, 1], direction[:, 0])
-        b = jnp.round(theta / bin_width - fields.phase).astype(jnp.int32) % d_bins
-        ang = (b.astype(jnp.float32) + fields.phase) * bin_width
-        cb = jnp.cos(ang)
-        sb = jnp.sin(ang)
-
-        rel = pos - fields.center
-        xr = cb * rel[:, 0] + sb * rel[:, 1] + s / 2.0
-        yr = -sb * rel[:, 0] + cb * rel[:, 1] + s / 2.0
-
-        # --- source injection (energy at the photon's rotated cell) ---
-        # mc_direct=False statically removes the wave-0 scatter when the
-        # caller knows every light is analytically injected (the scatter
-        # cost is paid even for all-masked updates otherwise).
-        ix = jnp.clip(jnp.floor(xr).astype(jnp.int32), 0, s - 1)
-        iy = jnp.clip(jnp.floor(yr).astype(jnp.int32), 0, s - 1)
-        if wave > 0 or mc_direct:
-            inject = live if wave > 0 else live & ~analytic_mask
-            flat = (b * s + iy) * s + ix
-            e_masked = jnp.where(inject[:, None], energy, 0.0)
-            import os
-
-            if jax.default_backend() == "tpu" and os.environ.get("LITBOX_INJECT_SORTED"):
-                # Pallas sorted-merge scatter (ops/inject.py). Kept opt-in:
-                # measured 50 ms vs 20 ms for XLA's flat scatter at 2M
-                # updates on v5e-lite (the 9216-step grid's fixed overhead
-                # dominates its bandwidth win at this target size).
-                from ..ops.inject import inject_sorted
-
-                flat_m = jnp.where(inject, flat, jnp.iinfo(jnp.int32).max)
-                src_accum = inject_sorted(src_accum, flat_m, e_masked)
-            else:
-                src_accum = _inject_flat(src_accum, flat, e_masked)
-
-        # --- free flight on the photon's row ---
-        # Full (N, S) row gathers run at HBM bandwidth on TPU (~8 ms for 2M
-        # x 384 rows); narrow 32-wide gathers from the same table measured
-        # 300x slower (latency-bound — no gather unit), so the dense
-        # row-reduction formulation wins despite touching S times more data.
-        xs = jnp.arange(s, dtype=jnp.float32)
-        rows = fields.cum_log.reshape(d_bins * s, s)[b * s + iy]   # (N, S)
-        tent_x0 = jnp.maximum(0.0, 1.0 - jnp.abs((xr - 0.5)[:, None] - xs))
-        c0 = jnp.sum(rows * tent_x0, axis=-1)
-        c_end = rows[:, -1]
-        t_esc = jnp.exp(jnp.clip(c_end - c0, -60.0, 0.0))
-
-        tp = t_esc + jax.random.uniform(k_tp, (n,)) * (1.0 - t_esc)
-        thr = c0 + jnp.log(jnp.maximum(tp, 1e-30))
-        x_star = jnp.sum((rows >= thr[:, None]).astype(jnp.int32), axis=-1)
-        found = live & (x_star < s) & (x_star > 0)
-        x_star = jnp.clip(x_star, 1, s - 1)
-
-        c_at = jnp.sum(jnp.where(xs[None, :] == x_star[:, None].astype(jnp.float32),
-                                 rows, 0.0), axis=-1)
-        c_prev = jnp.sum(jnp.where(xs[None, :] == (x_star - 1)[:, None].astype(jnp.float32),
-                                   rows, 0.0), axis=-1)
-        frac = jnp.clip((c_prev - thr) / (c_prev - c_at - 1e-12), 0.0, 1.0)
-        hit_x = x_star.astype(jnp.float32) - 0.5 + frac
-
-        hx = hit_x - s / 2.0
-        hy = yr - s / 2.0
-        p_hit = jnp.stack([cb * hx - sb * hy, sb * hx + cb * hy], -1) + fields.center
-
-        if wave == max_bounces - 1:
-            break  # the last wave's deposits are in; no continuation needed
-
-        # Russian-roulette culling happens BEFORE the material gather: the
-        # full batch had to fly (its wave deposits are the signal) but only
-        # the survivors need a material lookup and scatter — at 2M-photon
-        # frames with 4x culling this removes 3/4 of the most
-        # gather-bound stage (strided systematic subsampling is unbiased;
-        # photons are exchangeable within each light's contiguous block).
-        if wave == 0 and mc_direct and 0 < bounce_photons < n:
-            (pos, direction, energy, bounces, dead,
-             p_hit, found, t_esc, live), scale = cull(
-                [pos, direction, energy, bounces, dead,
-                 p_hit, found, t_esc, live], bounce_photons)
-            energy = energy * scale
-
-        # --- material scatter at the interaction point ---
-        m = pos.shape[0]
-        gx = jnp.clip(jnp.floor(p_hit[:, 0]).astype(jnp.int32), 0, width - 1)
-        gy = jnp.clip(jnp.floor(p_hit[:, 1]).astype(jnp.int32), 0, height - 1)
-        mat = material[gy, gx]
-        normal4 = mat[:, :4]
-        albedo = mat[:, 4:7]
-
-        rand3 = jax.random.uniform(k_scatter, (m, 3))
-        new_dir, mat_scale, pushback = scatter_materially(
-            brdf_lut, normal4, direction, rand3, fast=True, enable_brdf=enable_brdf)
-
-        quantum_scale = 1.0 - t_esc
-        bounced = found
-        energy = jnp.where(bounced[:, None],
-                           energy * albedo * (quantum_scale * mat_scale)[:, None],
-                           energy)
-        pos = jnp.where(bounced[:, None], p_hit + pushback + new_dir, pos)
-        direction = jnp.where(bounced[:, None], new_dir, direction)
-        dead = dead | (live & ~found)
-
-    return src_accum, jnp.int32(n_emit)
+    if max_bounces >= 2:
+        k = (bounce_photons if 0 < bounce_photons < n_photons else n_photons)
+        stratified = hist_direct or light_kinds == (LIGHT_POINT,)
+        src_accum = _bounce_chains(
+            src_accum, fields, gbuffer, lights, field_textures, brdf_lut,
+            k_bounce, k, override_bounces, max_bounces, enable_brdf,
+            light_kinds, stratified)
+    return src_accum, jnp.int32(n_emitted)
 
 
 @jax.jit

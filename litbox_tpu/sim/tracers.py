@@ -114,6 +114,7 @@ class RBTForwardIntegrator(ForwardIntegrator):
         self._mc_direct = None
         self._enable_brdf = True
         self._light_kinds = None
+        self._hist_direct = False
         super().__init__(finalize_outscatter, bilinear_writes)
 
     @property
@@ -170,12 +171,19 @@ class RBTForwardIntegrator(ForwardIntegrator):
             self._light_kinds = tuple(sorted(set(
                 int(k) for k, a in zip(np.asarray(scene.lights.kind),
                                        np.asarray(scene.lights.active)) if a)))
+            # Histogram fast path for the MC direct deposits: every active
+            # light must be a point light whose stamp never clips (the same
+            # geometry guard as the analytic mask). Static per scene, like
+            # the reference's per-light kernel selection.
+            self._hist_direct = (self._mc_direct and not self.analytic_direct
+                                 and bool(np.all(mask[active])))
         self._src, n = rbt_trace_frame(
             self._fields, self._src, gb, scene.lights, scene.field_textures,
             self._brdf, key, self.rays_to_emit, jnp.int32(override),
             max_bounces=self.max_bounces, bounce_photons=self.bounce_rays,
             mc_direct=self._mc_direct, enable_brdf=self._enable_brdf,
-            light_kinds=self._light_kinds, analytic_direct=self.analytic_direct)
+            light_kinds=self._light_kinds, analytic_direct=self.analytic_direct,
+            hist_direct=self._hist_direct)
         self._write_count = self._write_count + n  # device-side; no sync
         self._resolved = None
         if self.jitter_bins:

@@ -136,6 +136,63 @@ def test_rbt_phase_jitter_unbiased(setup):
         assert abs(ratio - 1.0) < 0.08, (r0, r1, ratio)
 
 
+def test_rbt_hist_fast_path_matches_generic(setup):
+    """The all-point-light fast path (stamp-histogram direct injection +
+    direction-stratified one-hot flight) must agree statistically with the
+    generic scatter path: same converged field, same total energy."""
+    scene, gb, brdf, fields = setup
+
+    def run(hist, key):
+        src = rbt.zero_sources(fields)
+        for f in range(3):
+            src, n = rbt.rbt_trace_frame(
+                fields, src, gb, scene.lights, scene.field_textures, brdf,
+                jax.random.fold_in(key, f), 16384, jnp.int32(2),
+                max_bounces=2, mc_direct=True, analytic_direct=False,
+                light_kinds=(1,) if hist else None, hist_direct=hist)
+        assert int(n) == 16384
+        return np.asarray(rbt.resolve_raw(fields, src, W, W)) / 3
+
+    a = run(True, jax.random.key(40))
+    b = run(False, jax.random.key(41))
+    assert abs(a.sum() / b.sum() - 1) < 0.03, (a.sum(), b.sum())
+    mask = b.mean(-1) > np.percentile(b.mean(-1), 70)
+    rel = np.abs(a.mean(-1) - b.mean(-1))[mask] / b.mean(-1)[mask]
+    assert np.median(rel) < 0.12, float(np.median(rel))
+
+
+def test_rbt_stratified_multi_light():
+    """Fast path with two point lights of different colors/intensities:
+    per-light energy normalization must hold (light split is proportional
+    to luminance; each light's photons carry total_l/rays_l)."""
+    b = SceneBuilder()
+    b.add_point_light((W / 4, W / 2), radius=0.5, color=(1, 0, 0),
+                      intensity=1.0, bounces=1)
+    b.add_point_light((3 * W / 4, W / 2), radius=0.5, color=(0, 0, 1),
+                      intensity=2.0, bounces=1)
+    b.add_rect((W / 2, W / 2), (W, W), color=(1, 1, 1, 1), log_density=-1.3)
+    scene = b.build(max_lights=2, max_shapes=2)
+    gb = rasterize(scene, W, W)
+    brdf = jnp.asarray(luts.brdf_lut((16, 5, 3)))
+    fields = rbt.precompute_rotated_fields(gb, n_bins=64)
+
+    def run(hist, key):
+        src = rbt.zero_sources(fields)
+        src, _ = rbt.rbt_trace_frame(
+            fields, src, gb, scene.lights, scene.field_textures, brdf,
+            key, 32768, jnp.int32(1), max_bounces=1,
+            mc_direct=True, analytic_direct=False,
+            light_kinds=(1,) if hist else None, hist_direct=hist)
+        return np.asarray(rbt.resolve_raw(fields, src, W, W))
+
+    a = run(True, jax.random.key(50))
+    g = run(False, jax.random.key(51))
+    # Per-channel totals: red light (I=1) vs blue light (I=4x energy).
+    for c in (0, 2):
+        assert abs(a[..., c].sum() / g[..., c].sum() - 1) < 0.05, c
+    assert a[..., 1].sum() < 1e-3 * a[..., 2].sum()  # no green anywhere
+
+
 def test_rbt_bounce_culling_unbiased(setup):
     """Russian-roulette culling after wave 0 (cull-before-material-gather)
     must preserve total deposited energy in expectation."""
