@@ -62,8 +62,11 @@ def ssim(a: jax.Array, b: jax.Array, window_size: int = 11) -> jax.Array:
     mu_a = _conv_win(a, w)
     mu_b = _conv_win(b, w)
     mu_a2, mu_b2, mu_ab = mu_a**2, mu_b**2, mu_a * mu_b
-    s_a = _conv_win(a * a, w) - mu_a2
-    s_b = _conv_win(b * b, w) - mu_b2
+    # E[x^2] - E[x]^2 cancels catastrophically in f32 on large smooth
+    # images, going slightly negative and blowing up the ratio; variances
+    # are nonnegative by definition, so clamp.
+    s_a = jnp.maximum(_conv_win(a * a, w) - mu_a2, 0.0)
+    s_b = jnp.maximum(_conv_win(b * b, w) - mu_b2, 0.0)
     s_ab = _conv_win(a * b, w) - mu_ab
     c1, c2 = 0.01**2, 0.03**2
     out = ((2 * mu_ab + c1) * (2 * s_ab + c2)) / ((mu_a2 + mu_b2 + c1) * (s_a + s_b + c2))

