@@ -66,17 +66,20 @@ def ssim8(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def main():
-    ckpt = next((a for a in sys.argv[1:] if not a.startswith("--")), None)
     report = None
-    if "--report" in sys.argv:
-        report = sys.argv[sys.argv.index("--report") + 1]
+    args = sys.argv[1:]
+    if "--report" in args:
+        i = args.index("--report")
+        report = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    ckpt = next((a for a in args if not a.startswith("--")), None)
 
     run_mono = None
     if ckpt:
         from litbox_tpu.nn.infer import infer_large
-        from litbox_tpu.nn.train import DenoiserTrainer, TrainConfig
+        from litbox_tpu.nn.train import TrainConfig, Trainer
 
-        trainer = DenoiserTrainer(TrainConfig())
+        trainer = Trainer(TrainConfig())
         trainer.load(ckpt)
         eval_fn = trainer.eval_fn()
 
