@@ -118,6 +118,76 @@ def render_frame(sim: Simulation, backdrop: np.ndarray, exposure: float = -1.0,
     return np.asarray(tonemap_uchimura(comp))
 
 
+def build_game_scene(w: int, params: dict):
+    """Scene from live gameplay state (demo/game.py AbductionGame
+    .scene_params()): the UFO pose/beam drive the lights, captured targets
+    glow, parallax offsets shift the hill layers."""
+    import math as _m
+
+    from ..scene import SceneBuilder
+
+    cam_x, _ = params["camera"]
+    ux, uy, uang = params["ufo"]
+    # world -> screen: camera x maps to frame center; world unit = w/20 px
+    scale = w / 20.0
+    sx = lambda x: (x - cam_x) * scale + w / 2
+    sy = lambda y: y * scale + w * 0.25
+
+    b = SceneBuilder(texture_size=256)
+    b.add_rect((w / 2, w / 2), (w, w), color=(1, 1, 1, 1), log_density=-2.6)
+    # Parallax hill layers.
+    for k, (px, _py) in enumerate(params["parallax"][:2]):
+        b.add_sprite((sx(px), w * (0.16 - 0.06 * k)), (w / 2, w * (0.16 - 0.06 * k)),
+                     color=(0.25 - 0.1 * k, 0.3 - 0.12 * k, 0.2 - 0.08 * k, 1),
+                     log_density=-0.15 + 0.15 * k,
+                     texture=_hills_texture(256, k + 1, 0.55 - 0.05 * k, 0.35))
+    # UFO body light (+ tilt-following beam when tractoring).
+    b.add_point_light((sx(ux), sy(uy)), radius=w * 0.02,
+                      color=(0.6, 1.0, 0.7), intensity=1.3, bounces=2)
+    if params["beam_on"]:
+        b.add_spot_light((sx(ux), sy(uy) - w * 0.02), (w * 0.04, w * 0.01),
+                         rotation=_m.radians(uang), color=(0.7, 1.0, 0.6),
+                         intensity=2.2, bounces=2)
+    # Captured targets glow as they rise.
+    for tx, ty, captured in params["targets"][:2]:
+        if captured:
+            b.add_point_light((sx(tx), sy(ty)), radius=w * 0.012,
+                              color=(1.0, 0.9, 0.5), intensity=0.7, bounces=1)
+    return b.build(max_lights=6, max_shapes=4)
+
+
+def play_sequence(out_dir: str, inputs=None, width: int = 128,
+                  rays: int = 8192, sim_frames: int = 2,
+                  dt: float = 0.25) -> dict:
+    """Run the headless game on a scripted input stream and render each
+    step through the full sim pipeline. Returns the final scene_params
+    (score/state) plus the frame paths."""
+    from .game import AbductionGame, GameInput
+
+    if inputs is None:  # canonical demo script: fly right, beam, fly left
+        inputs = ([GameInput(move_x=1.0)] * 6
+                  + [GameInput(tractor=True)] * 8
+                  + [GameInput(move_x=-0.6, tractor=True)] * 6)
+    os.makedirs(out_dir, exist_ok=True)
+    game = AbductionGame()
+    backdrop = _star_backdrop(width, width)
+    sim = Simulation(width=width, height=width, mode=Mode.REFERENCE,
+                     rays_per_frame=rays, measurement_interval=0)
+    paths = []
+    for i, inp in enumerate(inputs):
+        game.step(dt, inp)
+        params = game.scene_params()
+        sim.set_scene(build_game_scene(width, params))
+        sim.frame_limit = sim_frames
+        sim.run(max_frames=sim_frames)
+        path = os.path.join(out_dir, f"play_{i:03d}.png")
+        write_png(path, np.flipud(render_frame(sim, backdrop)), srgb_encode=False)
+        paths.append(path)
+    out = game.scene_params()
+    out["frames"] = paths
+    return out
+
+
 def render_sequence(out_dir: str, n_frames: int = 8, width: int = 128,
                     rays: int = 16384, sim_frames: int = 3) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
