@@ -28,6 +28,12 @@ class DenoiserDataset:
     reference_paths: list[str] | None = None
     crop_size: int = 256
     upsample: int = 1
+    # Per-item radiance scale (the factory's auto-exposure 10**exposure,
+    # data/factory.py:175): applied to input_a/input_b/reference so the HDR
+    # loss weighting sees comparable magnitudes across scenes whose light
+    # intensities span orders of magnitude. Albedo/transmissibility are
+    # unitless and stay unscaled.
+    scales: list[float] | None = None
 
     def __post_init__(self):
         n = len(self.input_a_paths)
@@ -36,6 +42,8 @@ class DenoiserDataset:
                 raise ValueError(f"{name} length != input_a_paths length")
         if self.reference_paths is not None and len(self.reference_paths) != n:
             raise ValueError("reference_paths length != input_a_paths length")
+        if self.scales is not None and len(self.scales) != n:
+            raise ValueError("scales length != input_a_paths length")
 
     def __len__(self) -> int:
         return len(self.input_a_paths)
@@ -51,8 +59,9 @@ class DenoiserDataset:
 
     def __getitem__(self, idx: int, rng: np.random.Generator | None = None):
         rng = rng or np.random.default_rng()
-        a = read_image_linear(self.input_a_paths[idx])
-        b = read_image_linear(self.input_b_paths[idx])
+        scale = 1.0 if self.scales is None else float(self.scales[idx])
+        a = read_image_linear(self.input_a_paths[idx]) * scale
+        b = read_image_linear(self.input_b_paths[idx]) * scale
         albedo = read_image_linear(self.albedo_paths[idx])
         trans = read_image_linear(self.transmissibility_paths[idx])
         if not (a.shape[:2] == b.shape[:2] == albedo.shape[:2] == trans.shape[:2]):
@@ -61,7 +70,7 @@ class DenoiserDataset:
         if self.reference_paths is None:
             return a, b, albedo, trans, None
 
-        ref = read_image_linear(self.reference_paths[idx])
+        ref = read_image_linear(self.reference_paths[idx]) * scale
         if ref.shape[:2] != a.shape[:2]:
             raise ValueError(f"reference size mismatch at index {idx}")
 

@@ -1,0 +1,139 @@
+"""Round-2 denoiser training on the MC-direct (genuinely noisy) dataset.
+
+Usage: python runs/train_denoiser_r2.py [minutes] [--dataset DIR]
+
+Differences from round 1 (VERDICT.md next-round item 4):
+  * inputs carry Monte-Carlo direct-light noise (dataset_r2, generated with
+    mc_direct_inputs=True) — there is real noise to learn to remove;
+  * per-scene exposure normalization: radiance tensors scaled by
+    10**(-log10(sum I^2)) from each Scene json (the factory's auto-exposure,
+    data/factory.py:175) so HdrLoss weights see comparable magnitudes;
+  * held-out scenes (every 8th) are never trained on; checkpoints report
+    held-out PSNR gain (denoised vs noisy, against the converged reference).
+"""
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+from litbox_tpu.nn.dataset import DenoiserDataset
+from litbox_tpu.nn.train import TrainConfig, Trainer
+from litbox_tpu.nn.unet import TransformConfig
+
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+minutes = float(args[0]) if args else 60.0
+if "--dataset" in sys.argv:
+    dataset_dir = sys.argv[sys.argv.index("--dataset") + 1]
+else:
+    dataset_dir = sorted(glob.glob("/root/repo/runs/dataset_r2/*"))[-1]
+print("dataset:", dataset_dir, flush=True)
+
+refs = sorted(glob.glob(os.path.join(dataset_dir, "Output_Reference_*.exr")))
+ids = [p.split("_")[-1].split(".")[0] for p in refs]
+print("scenes:", len(ids), flush=True)
+
+
+def scene_scale(i: str) -> float:
+    with open(os.path.join(dataset_dir, f"Scene_{i}.json")) as f:
+        desc = json.load(f)
+    lum = sum(l["intensity"] ** 2 for l in desc["lights"])
+    return 1.0 / max(lum, 1e-6)  # 10**exposure
+
+
+train_ids = [i for k, i in enumerate(ids) if k % 8 != 7]
+held_ids = [i for k, i in enumerate(ids) if k % 8 == 7]
+print(f"train {len(train_ids)} held-out {len(held_ids)}", flush=True)
+
+
+def stage(name: str, profile: int, use_ids: list, crop: int) -> DenoiserDataset:
+    return DenoiserDataset(
+        [os.path.join(dataset_dir, f"Input{profile}_Radiance_A_{i}.exr") for i in use_ids],
+        [os.path.join(dataset_dir, f"Input{profile}_Radiance_B_{i}.exr") for i in use_ids],
+        [os.path.join(dataset_dir, f"Albedo_{i}.png") for i in use_ids],
+        [os.path.join(dataset_dir, f"Transmissibility_{i}.exr") for i in use_ids],
+        [os.path.join(dataset_dir, f"Output_Reference_{i}.exr") for i in use_ids],
+        crop_size=crop, scales=[scene_scale(i) for i in use_ids])
+
+
+SMOKE = "--smoke" in sys.argv
+if SMOKE:  # tiny wiring check on CPU
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+CROP = 64 if SMOKE else 192
+# Curriculum Easy -> Final (reference: train_litbox_denoiser.py:142-164):
+# Input2 = 262144 rays (least noisy), Input1 = 65536, Input0 = 5x8192.
+stages = [("Easy", stage("Easy", 2, train_ids, CROP)),
+          ("Medium", stage("Medium", 1, train_ids, CROP)),
+          ("Final", stage("Final", 0, train_ids, CROP))]
+
+cfg = TrainConfig(unet_size=3 if SMOKE else 5, initial_features=8 if SMOKE else 32,
+                  crop_size=CROP, learn_rate=1e-4, epochs=1,
+                  batch_size=2 if SMOKE else 8,
+                  transform=TransformConfig(normalize_input=True))
+trainer = Trainer(cfg)
+if "--resume" in sys.argv:
+    trainer.load("/root/repo/runs/denoiser_r2/model.npz")
+    print("resumed", flush=True)
+
+
+def heldout_gain(max_scenes: int = 6) -> tuple[float, float]:
+    """Mean PSNR of noisy Input1 vs reference, and of denoised vs reference,
+    on center crops of held-out scenes (exposure-normalized space)."""
+    from litbox_tpu.nn.infer import infer_large
+
+    fn = trainer.eval_fn()
+    base, den = [], []
+    for i in held_ids[:max_scenes]:
+        s = scene_scale(i)
+        from litbox_tpu.io.images import read_image_linear
+
+        noisy = read_image_linear(os.path.join(dataset_dir, f"Input1_Radiance_A_{i}.exr")) * s
+        ref = read_image_linear(os.path.join(dataset_dir, f"Output_Reference_{i}.exr")) * s
+        out = infer_large(fn, noisy)
+        peak = max(float(ref.max()), 1e-6)
+        psnr = lambda x: 10 * np.log10(peak**2 / max(float(((x - ref) ** 2).mean()), 1e-12))
+        base.append(psnr(noisy))
+        den.append(psnr(out))
+    return float(np.mean(base)), float(np.mean(den))
+
+
+t0 = time.time()
+rng = np.random.default_rng(0)
+step = 0
+last_eval = 0.0
+budget = minutes * 60
+
+# time-sliced curriculum: 30% Easy, 30% Medium, 40% Final
+def active_stage() -> tuple:
+    f = (time.time() - t0) / budget
+    return stages[0] if f < 0.3 else stages[1] if f < 0.6 else stages[2]
+
+
+while time.time() - t0 < budget:
+    name, ds = active_stage()
+    for batch in ds.batches(cfg.batch_size, rng, shuffle=True):
+        if rng.random() < 0.5:  # both tracers' outputs are training samples
+            batch["input_a"] = batch["input_b"]
+        inp, tgt = trainer.select_random_channel(batch, rng)
+        loss = trainer.train_batch(inp, tgt)
+        step += 1
+        if step % 20 == 0:
+            print(f"{time.time()-t0:7.1f}s step {step} [{name}] loss {loss:.5f}", flush=True)
+        if time.time() - t0 > budget:
+            break
+    if time.time() - t0 - last_eval > 1200:
+        last_eval = time.time() - t0
+        trainer.save("/root/repo/runs/denoiser_r2/model.npz", include_optimizer=True)
+        b, d = heldout_gain(3)
+        print(f"CHECKPOINT {last_eval:.0f}s heldout base {b:.2f} dB denoised {d:.2f} dB "
+              f"gain {d-b:+.2f} dB", flush=True)
+
+trainer.save("/root/repo/runs/denoiser_r2/model.npz", include_optimizer=True)
+trainer.save("/root/repo/runs/denoiser_r2/model_final.npz", include_optimizer=False)
+b, d = heldout_gain(len(held_ids))
+print(f"FINAL steps {step} heldout base {b:.2f} dB denoised {d:.2f} dB gain {d-b:+.2f} dB", flush=True)
