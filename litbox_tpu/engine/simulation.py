@@ -205,7 +205,11 @@ class Simulation:
         """
         i = self.iterations_since_clear
         if i <= 1:
-            return True
+            # Realtime resets the counter every frame, so this branch would
+            # regenerate the pyramid (and force two forward resolves) per
+            # frame; the reference explicitly suppresses it there
+            # (Simulation.cs:370 returns mode != Realtime at iteration 0).
+            return self.mode != Mode.REALTIME
         if i < 100:
             return i % 10 == 0
         return i % 100 == 0

@@ -45,6 +45,21 @@ class TrainConfig:
     seed: int = 0
 
 
+def load_train_config(checkpoint_path: str) -> TrainConfig:
+    """Reconstruct the TrainConfig saved next to a checkpoint (the .json
+    Trainer.save writes) so eval/inference always matches the transform and
+    architecture the model was trained with."""
+    path = checkpoint_path
+    if not path.endswith(".json"):
+        path = (path if path.endswith(".npz") else path + ".npz") + ".json"
+    with open(path) as f:
+        d = json.load(f)
+    d["loss"] = HdrLossConfig(**d.get("loss", {}))
+    t = d.get("transform", {})
+    d["transform"] = TransformConfig(**{k: v for k, v in t.items()})
+    return TrainConfig(**d)
+
+
 class Trainer:
     def __init__(self, cfg: TrainConfig):
         self.cfg = cfg

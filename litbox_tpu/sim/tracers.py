@@ -70,7 +70,6 @@ class ForwardIntegrator:
             max_bounces=self.max_bounces, bilinear=self.bilinear_writes)
         self._accum = self._accum + raw
         self._write_count = self._write_count + wc  # device-side; no sync
-        return self.output_hdr
 
     @property
     def output_hdr(self) -> jax.Array:
@@ -189,7 +188,9 @@ class RBTForwardIntegrator(ForwardIntegrator):
         if self.jitter_bins:
             k = (self.iterations_since_clear - 1) % self.jitter_phases
             self._phase_src[k] = self._src
-        return self.output_hdr
+        # NOTE deliberately returns nothing: reading output_hdr here would
+        # force the (expensive) resolve every frame; outputs resolve lazily
+        # at readout (display/convergence/dataset writes).
 
     @property
     def output_hdr(self) -> jax.Array:
@@ -308,11 +309,22 @@ class LightTransportTracer:
 
 
 class HybridTracer:
-    """Forward feeds per-pixel backward gather (reference: HybridTracer.cs)."""
+    """Forward feeds per-pixel backward gather (reference: HybridTracer.cs).
 
-    def __init__(self, engine: str = "rbt"):
+    forward_refresh_interval amortizes the RBT resolve (scan + rotate-back,
+    the dominant per-frame cost on TPU): the backward gather reuses the
+    last resolved forward HDR for K-1 frames. The reference re-reads the
+    forward texture every frame because that is free on its GPU
+    (HybridTracer.cs:17); here a slightly stale forward radiance changes
+    nothing in the limit — backward output converges to the same gather
+    integral as the forward map converges — and the refresh cadence only
+    shapes early-frame transients. Set to 1 for exact reference cadence."""
+
+    def __init__(self, engine: str = "rbt", forward_refresh_interval: int = 4):
         self.forward = _make_forward(engine, finalize_outscatter=False)
         self.backward = BackwardIntegrator()
+        self.forward_refresh_interval = max(1, forward_refresh_interval)
+        self._cached_forward_hdr = None
 
     @property
     def gbuffer(self):
@@ -338,6 +350,7 @@ class HybridTracer:
     def new_scene(self):
         self.forward.clear()
         self.backward.clear()
+        self._cached_forward_hdr = None
 
     def begin_trace(self, scene, key):
         self.forward.integrate(scene, key)
@@ -346,4 +359,7 @@ class HybridTracer:
         fields = getattr(self.forward, "_fields", None)
         if fields is not None:
             self.backward.rbt_fields = fields
-        self.backward.integrate(self.forward.output_hdr, key)
+        if (self._cached_forward_hdr is None
+                or self.backward.frame_count % self.forward_refresh_interval == 0):
+            self._cached_forward_hdr = self.forward.output_hdr
+        self.backward.integrate(self._cached_forward_hdr, key)

@@ -1,0 +1,184 @@
+"""1080p pipeline benchmark (BASELINE target 2: 1080p denoised >= 60 FPS).
+
+The reference's 1080p architecture is quarter-res simulation bound to the
+camera (BindSimulationToCamera.cs:6 resolutionScale = 1/4) with the denoiser
+cleaning the quarter-res lightmap and the display blit upscaling. Here the
+whole frame is ONE jitted program:
+
+  RBT trace (2M photons, 2 bounces) at 480x272
+  -> resolve (scan + rotate-back)  -> HDR
+  -> UNet denoise (channels-as-batch mono passes, bf16 params optional)
+  -> 4x bilinear upsample to 1920x1088 -> Uchimura tonemap
+
+Prints per-stage and fused ms/frame with the tunnel-RTT methodology of
+bench.py (chained frames in one scan, single scalar fetch).
+
+Usage: python runs/bench_1080p.py [checkpoint.npz] [--bf16]
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SIM_W, SIM_H = 480, 272          # quarter-res 1080p (rounded to /16)
+OUT_W, OUT_H = 1920, 1088
+PHOTONS = 2_000_000
+BOUNCE_PHOTONS = 524_288
+FRAMES = 5
+
+
+def build():
+    from litbox_tpu.core import luts
+    from litbox_tpu.scene import SceneBuilder, rasterize
+    from litbox_tpu.sim import rbt
+
+    rng = np.random.default_rng(0)
+    cloud = rng.uniform(0.0, 1.0, (256, 256)).astype(np.float32)
+    for _ in range(3):
+        cloud = (np.roll(cloud, 1, 0) + np.roll(cloud, -1, 0)
+                 + np.roll(cloud, 1, 1) + np.roll(cloud, -1, 1) + cloud) / 5.0
+    b = SceneBuilder(texture_size=256)
+    b.add_point_light((SIM_W * 0.5, SIM_H * 0.55), radius=4.0,
+                      color=(1.0, 0.85, 0.6), intensity=2.0, bounces=2)
+    b.add_sprite((SIM_W / 2, SIM_H / 2), (SIM_W / 2, SIM_H / 2),
+                 color=(1, 1, 1, 1), log_density=-1.0,
+                 texture=np.stack([cloud] * 3 + [cloud], -1))
+    scene = b.build(max_lights=2, max_shapes=2)
+    gb = rasterize(scene, SIM_H, SIM_W)
+    brdf = jnp.asarray(luts.brdf_lut())
+    fields = rbt.precompute_rotated_fields(gb, n_bins=128)
+    return scene, gb, brdf, fields
+
+
+def measure_rtt() -> float:
+    float(jnp.float32(1.0) + 1)
+    return min(
+        (lambda t0: (float(jnp.sin(jnp.float32(i))), time.perf_counter() - t0)[1])(
+            time.perf_counter())
+        for i in range(3))
+
+
+def main():
+    from litbox_tpu.nn.train import TrainConfig, Trainer, load_train_config
+    from litbox_tpu.nn.unet import pre_transform, post_transform, TransformConfig
+    from litbox_tpu.post.tonemap import UchimuraShape, tonemap_uchimura
+    from litbox_tpu.sim import rbt
+    from litbox_tpu.sim.oracle import to_hdr
+
+    ckpt = next((a for a in sys.argv[1:] if not a.startswith("--")), None)
+    use_bf16 = "--bf16" in sys.argv
+
+    scene, gb, brdf, fields = build()
+    tcfg = (load_train_config(ckpt) if ckpt
+            else TrainConfig(transform=TransformConfig(normalize_input=True)))
+    trainer = Trainer(tcfg)
+    if ckpt:
+        trainer.load(ckpt)
+        print("loaded", ckpt)
+    variables = {"params": trainer.params, "batch_stats": trainer.batch_stats}
+    if use_bf16:
+        variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32 else x,
+            variables)
+    model = trainer.model
+
+    pad_h = (32 - SIM_H % 32) % 32  # UNet needs /32 (5 pool levels)
+
+    def denoise(hdr):
+        x = hdr.transpose(2, 0, 1)[..., None]             # (3, H, W, 1)
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, 0), (0, 0)), mode="reflect")
+        if use_bf16:
+            x = x.astype(jnp.bfloat16)
+        xin, stats = pre_transform(x, tcfg.transform)
+        out = model.apply(variables, xin, train=False)
+        out = post_transform(out, stats, tcfg.transform)
+        out = out.astype(jnp.float32)[:, :SIM_H, :, 0].transpose(1, 2, 0)
+        return out
+
+    def upsample(x):  # (H, W, 3) -> (OUT_H, OUT_W, 3) bilinear
+        return jax.image.resize(x, (OUT_H, OUT_W, 3), "bilinear")
+
+    def stage_fns():
+        def trace(src, key):
+            src, _ = rbt.rbt_trace_frame(
+                fields, src, gb, scene.lights, scene.field_textures, brdf, key,
+                PHOTONS, jnp.int32(-1), max_bounces=2,
+                bounce_photons=BOUNCE_PHOTONS, mc_direct=True,
+                analytic_direct=False, enable_brdf=False, light_kinds=(1,),
+                hist_direct=True)
+            return src
+
+        def resolve(src):
+            return rbt.resolve_raw(fields, src, SIM_H, SIM_W)
+
+        def display(raw, iters):
+            hdr = to_hdr(raw, iters, gb, finalize_outscatter=True)
+            den = denoise(hdr)
+            return tonemap_uchimura(upsample(den) * 0.5, UchimuraShape())
+
+        return trace, resolve, display
+
+    trace, resolve, display = stage_fns()
+
+    @jax.jit
+    def fused_frames(src, key):
+        def body(src, i):
+            src = trace(src, jax.random.fold_in(key, i))
+            img = display(resolve(src), jnp.float32(i + 1.0))
+            return src, img[0, 0, 0]
+        src, probe = jax.lax.scan(body, src, jnp.arange(FRAMES))
+        return probe.sum()
+
+    # per-stage timers (each chained FRAMES times inside one jit)
+    @jax.jit
+    def trace_frames(src, key):
+        def body(src, i):
+            return trace(src, jax.random.fold_in(key, i)), 0.0
+        src, _ = jax.lax.scan(body, src, jnp.arange(FRAMES))
+        return src[0][0, 0, 0]
+
+    @jax.jit
+    def resolve_frames(src):
+        def body(c, i):
+            return c + resolve(src)[0, 0, 0], 0.0
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(FRAMES))
+        return c
+
+    @jax.jit
+    def display_frames(raw):
+        def body(c, i):
+            return c + display(raw, i + 1.0)[0, 0, 0], 0.0
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(FRAMES))
+        return c
+
+    rtt = measure_rtt()
+    print(f"rtt {rtt*1000:.1f} ms")
+    src0 = rbt.zero_sources(fields)
+    key = jax.random.key(0)
+
+    def time_fn(name, fn, *args):
+        float(fn(*args))
+        float(fn(*args))
+        t0 = time.perf_counter()
+        float(fn(*args))
+        dt = (time.perf_counter() - t0 - rtt) / FRAMES
+        print(f"{name}: {dt*1000:7.2f} ms/frame", flush=True)
+        return dt
+
+    t_trace = time_fn("trace  ", trace_frames, src0, key)
+    src1 = trace(src0, key)
+    t_resolve = time_fn("resolve", resolve_frames, src1)
+    raw1 = resolve(src1)
+    t_display = time_fn("display", display_frames, raw1)
+    t_fused = time_fn("FUSED  ", fused_frames, src0, key)
+    fps = 1.0 / t_fused
+    print(f"1080p fused: {t_fused*1000:.2f} ms/frame = {fps:.1f} FPS "
+          f"(target 60; stages {t_trace*1e3:.1f}+{t_resolve*1e3:.1f}+{t_display*1e3:.1f})")
+
+
+if __name__ == "__main__":
+    main()

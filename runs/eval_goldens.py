@@ -77,9 +77,9 @@ def main():
     run_mono = None
     if ckpt:
         from litbox_tpu.nn.infer import infer_large
-        from litbox_tpu.nn.train import TrainConfig, Trainer
+        from litbox_tpu.nn.train import Trainer, load_train_config
 
-        trainer = Trainer(TrainConfig())
+        trainer = Trainer(load_train_config(ckpt))
         trainer.load(ckpt)
         eval_fn = trainer.eval_fn()
 

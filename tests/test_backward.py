@@ -124,3 +124,38 @@ def test_implicit_free_flight_distribution():
     # Geometric distribution with survival t: mean steps = t/(1-t).
     expected = t / (1 - t)
     assert abs(dist.mean() / expected - 1) < 0.15, (dist.mean(), expected)
+
+
+def test_hybrid_forward_refresh_amortization(monkeypatch):
+    """HybridTracer resolves the forward lightmap only every K frames; the
+    backward gather reuses the cached HDR in between (the per-frame resolve
+    is the dominant TPU cost of the hybrid strategy)."""
+    import litbox_tpu.sim.tracers as tracers_mod
+    from litbox_tpu.scene import SceneBuilder
+    from litbox_tpu.scene.gbuffer import rasterize
+
+    b = SceneBuilder()
+    b.add_point_light((16, 16), radius=3, intensity=1.0)
+    b.add_rect((24, 20), (8, 6), color=(1, 1, 1, 1), log_density=-0.8)
+    scene = b.build()
+    gb = rasterize(scene, W, W)
+
+    calls = {"n": 0}
+    real = tracers_mod.resolve_raw
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(tracers_mod, "resolve_raw", counting)
+    t = tracers_mod.HybridTracer(forward_refresh_interval=4)
+    t.forward.n_bins = 16
+    t.forward.rays_to_emit = 2048
+    t.gbuffer = gb
+    t.new_scene()
+    for i in range(8):
+        t.begin_trace(scene, jax.random.key(2 * i))
+        t.end_trace(None, jax.random.key(2 * i + 1))
+    # frames 0 and 4 resolve; 6 frames reuse the cache
+    assert calls["n"] == 2, calls["n"]
+    assert t.tracer_output.shape == (W, W, 3)

@@ -138,3 +138,21 @@ def test_realtime_unchanged_scene_keeps_precompute():
     s.step()
     assert s.gbuffer is gb
     assert s.tracer_a.forward._fields is fields
+
+
+def test_realtime_never_updates_importance_map():
+    """Reference parity: ShouldUpdateImportanceMap returns false for
+    realtime mode at iteration 0 (Simulation.cs:370) — realtime frames must
+    not pay the pyramid's two forward resolves."""
+    s = Simulation(width=W, height=W, mode=Mode.REALTIME, strategy=Strategy.HYBRID,
+                   rays_per_frame=512)
+    s.set_scene(_scene())
+    for _ in range(3):
+        s.step()
+    assert s.importance_map is None
+
+    r = Simulation(width=W, height=W, mode=Mode.REFERENCE, strategy=Strategy.HYBRID,
+                   rays_per_frame=512)
+    r.set_scene(_scene())
+    r.step()
+    assert r.importance_map is not None
