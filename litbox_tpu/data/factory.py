@@ -234,13 +234,32 @@ class TrainingFactory:
             if f.endswith(f"_{sample_id:05d}.json") or f.endswith(f"_{sample_id:05d}.exr") \
                     or f.endswith(f"_{sample_id:05d}.png"):
                 os.remove(os.path.join(self.dataset_path, f))
+        # Persist the discard so session resumes skip the id instead of
+        # re-simulating a deterministically non-converging scene (the
+        # reference's resume-by-existence can't distinguish "never tried"
+        # from "tried and discarded" either — TrainingManager.cs:147-150 —
+        # but its scenes are cheap; ours cost minutes).
+        discarded = self._discarded_ids()
+        discarded.add(sample_id)
+        with open(os.path.join(self.dataset_path, "discarded.json"), "w") as f:
+            json.dump(sorted(discarded), f)
+
+    def _discarded_ids(self) -> set:
+        path = os.path.join(self.dataset_path, "discarded.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return set(json.load(f))
+        return set()
 
     def generate(self, max_samples: int | None = None, log=print):
         """Generate (or resume) the dataset; returns generated sample ids."""
         generated = []
         n = min(self.samples_to_generate,
                 max_samples or self.samples_to_generate)
+        skip = self._discarded_ids()
         for sample_id in range(n):
+            if sample_id in skip:
+                continue
             desc = self._scene_description(sample_id)
             scene, exposure = build_scene_from_description(
                 desc, self.width, self.height,
