@@ -34,8 +34,12 @@ class DenoiserDataset:
     # intensities span orders of magnitude. Albedo/transmissibility are
     # unitless and stay unscaled.
     scales: list[float] | None = None
+    # Decoded-image RAM cache: a 256^2 float32 RGB frame is 768 KB, so even
+    # hundreds of scenes fit comfortably; epochs after the first do zero IO.
+    cache_images: bool = True
 
     def __post_init__(self):
+        self._cache: dict = {}
         n = len(self.input_a_paths)
         for name in ("input_b_paths", "albedo_paths", "transmissibility_paths"):
             if len(getattr(self, name)) != n:
@@ -47,6 +51,12 @@ class DenoiserDataset:
 
     def __len__(self) -> int:
         return len(self.input_a_paths)
+
+    def _read_cached(self, path: str) -> np.ndarray:
+        img = self._cache.get(path)
+        if img is None:
+            img = self._cache[path] = read_image_linear(path)
+        return img
 
     @staticmethod
     def jittered_subsample(image: np.ndarray, factor: int, rng: np.random.Generator) -> np.ndarray:
@@ -60,17 +70,18 @@ class DenoiserDataset:
     def __getitem__(self, idx: int, rng: np.random.Generator | None = None):
         rng = rng or np.random.default_rng()
         scale = 1.0 if self.scales is None else float(self.scales[idx])
-        a = read_image_linear(self.input_a_paths[idx]) * scale
-        b = read_image_linear(self.input_b_paths[idx]) * scale
-        albedo = read_image_linear(self.albedo_paths[idx])
-        trans = read_image_linear(self.transmissibility_paths[idx])
+        read = self._read_cached if self.cache_images else read_image_linear
+        a = read(self.input_a_paths[idx]) * scale
+        b = read(self.input_b_paths[idx]) * scale
+        albedo = read(self.albedo_paths[idx])
+        trans = read(self.transmissibility_paths[idx])
         if not (a.shape[:2] == b.shape[:2] == albedo.shape[:2] == trans.shape[:2]):
             raise ValueError(f"size mismatch among inputs at index {idx}")
 
         if self.reference_paths is None:
             return a, b, albedo, trans, None
 
-        ref = read_image_linear(self.reference_paths[idx]) * scale
+        ref = read(self.reference_paths[idx]) * scale
         if ref.shape[:2] != a.shape[:2]:
             raise ValueError(f"reference size mismatch at index {idx}")
 
