@@ -49,12 +49,19 @@ def make_frame_fn(cfg: PipelineConfig, gbuffer, lights, field_textures, brdf_lut
     def denoise(hdr: jax.Array) -> jax.Array:
         if not cfg.denoise or model_variables is None:
             return hdr
-        # Channels as batch: (3, H, W, 1) through the mono UNet.
+        # Channels as batch: (3, H, W, 1) through the mono UNet. Reflect-pad
+        # to multiples of 32 (2^unet_size pool levels) so arbitrary sim
+        # sizes — e.g. the 480x272 quarter-1080p target — work in one jit.
+        h, w = hdr.shape[:2]
+        ph = (32 - h % 32) % 32
+        pw = (32 - w % 32) % 32
         x = hdr.transpose(2, 0, 1)[..., None]
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
         xin, stats = pre_transform(x, cfg.transform)
         out = model.apply(model_variables, xin, train=False)
         out = post_transform(out, stats, cfg.transform)
-        return out[..., 0].transpose(1, 2, 0)
+        return out[:, :h, :w, 0].transpose(1, 2, 0)
 
     def tonemap(x: jax.Array) -> jax.Array:
         x = x * (10.0 ** cfg.exposure)
