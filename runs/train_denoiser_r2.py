@@ -37,11 +37,22 @@ ids = [p.split("_")[-1].split(".")[0] for p in refs]
 print("scenes:", len(ids), flush=True)
 
 
+_scale_cache: dict = {}
+
+
 def scene_scale(i: str) -> float:
-    with open(os.path.join(dataset_dir, f"Scene_{i}.json")) as f:
-        desc = json.load(f)
-    lum = sum(l["intensity"] ** 2 for l in desc["lights"])
-    return 1.0 / max(lum, 1e-6)  # 10**exposure
+    """Gray-point exposure: scale so the converged reference's mean
+    luminance sits at photographic middle gray. The factory's light-power
+    auto-exposure (10^-log10(sum I^2)) spans x1000 for dim scenes and lets
+    near-source pixels blow the HdrLoss adaptive weights up by 1e4+ —
+    mean-luminance normalization achieves the intent (comparable loss
+    magnitudes across scenes) robustly."""
+    if i not in _scale_cache:
+        from litbox_tpu.io.images import read_image_linear
+
+        ref = read_image_linear(os.path.join(dataset_dir, f"Output_Reference_{i}.exr"))
+        _scale_cache[i] = 0.18 / max(float(ref.mean()), 1e-6)
+    return _scale_cache[i]
 
 
 train_ids = [i for k, i in enumerate(ids) if k % 8 != 7]
