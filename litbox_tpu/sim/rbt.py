@@ -42,7 +42,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.types import LIGHT_POINT, GBuffer, affine_linear, pytree_dataclass
+from ..core.types import (
+    LIGHT_LASER,
+    LIGHT_POINT,
+    GBuffer,
+    affine_linear,
+    pytree_dataclass,
+)
 from ..ops.resample import gather_bilinear_mxu
 from .emission import (
     assign_photons_to_lights,
@@ -200,6 +206,77 @@ def _analytic_point_sources(src_accum: jax.Array, lights, light_mask,
 
     return _inject_flat(src_accum, jnp.concatenate(all_flat),
                         jnp.concatenate(all_vals))
+
+
+def collimated_light_mask(lights) -> jax.Array:
+    """(L,) True for lights whose wave-0 deposits are computed exactly along
+    their true direction (collimated sources; currently lasers)."""
+    return (lights.kind == LIGHT_LASER) & lights.active & (lights.bounces != 0)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def _laser_direct_raw(gbuffer: GBuffer, affine: jax.Array, energy: jax.Array,
+                      height: int, width: int) -> jax.Array:
+    """Exact wave-0 deposit field of ONE laser (H, W, 3).
+
+    A laser's rays are parallel, so its expected direct-light field obeys a
+    1D attenuation recurrence ALONG THE EXACT BEAM DIRECTION — computable
+    with the existing RBT machinery as a one-bin rotated field at the
+    laser's own angle (instead of snapping to the D-bin fan): rasterize the
+    emitting rect's coverage on the rotated grid analytically, scan, rotate
+    back. Zero variance AND zero angular quantization: D-bin MC lasers show
+    a one-bin-wide fan (~2pi/D) under the jitter ladder; this kills it.
+    Energy matches the MC path: total injected = energy * W * H (the
+    emit() convention at interval=1, emission.py).
+    """
+    d = -affine[:, 1]
+    d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
+    theta = jnp.arctan2(d[1], d[0])
+    fields = precompute_rotated_fields(gbuffer, n_bins=1,
+                                       phase=theta / (2.0 * jnp.pi))
+    s = fields.size
+
+    # Rotated-grid points in target-frame coordinates (as in precompute).
+    xs = jnp.arange(s, dtype=jnp.float32) + 0.5 - s / 2.0
+    cb, sb = fields.cos[0], fields.sin[0]
+    px = cb * xs[None, :] - sb * xs[:, None] + fields.center[0]
+    py = sb * xs[None, :] + cb * xs[:, None] + fields.center[1]
+
+    # Analytic antialiased coverage of the emitting rect: local frame is
+    # x in [-1/2, 1/2], y in [0, 1] (laser_origin, emission.py:116).
+    lin = affine[:, :2]
+    det = lin[0, 0] * lin[1, 1] - lin[0, 1] * lin[1, 0]
+    inv = jnp.array([[lin[1, 1], -lin[0, 1]], [-lin[1, 0], lin[0, 0]]]) / jnp.where(
+        jnp.abs(det) < 1e-12, 1e-12, det)
+    rx = px - affine[0, 2]
+    ry = py - affine[1, 2]
+    lx = inv[0, 0] * rx + inv[0, 1] * ry
+    ly = inv[1, 0] * rx + inv[1, 1] * ry
+    g0 = jnp.maximum(jnp.linalg.norm(inv[0]), 1e-12)   # |grad lx| per texel
+    g1 = jnp.maximum(jnp.linalg.norm(inv[1]), 1e-12)
+    cov = (jnp.clip((0.5 - jnp.abs(lx)) / g0 + 0.5, 0.0, 1.0)
+           * jnp.clip((0.5 - jnp.abs(ly - 0.5)) / g1 + 0.5, 0.0, 1.0))
+
+    total = energy * jnp.float32(width * height)
+    src = cov[None] / jnp.maximum(cov.sum(), 1e-12)
+    deposited = attenuation_scan(
+        fields, tuple(src * total[c] for c in range(3)))
+    return rotate_back(fields, deposited, height, width)
+
+
+def collimated_direct_raw(gbuffer: GBuffer, lights, height: int,
+                          width: int) -> jax.Array | None:
+    """Sum of exact wave-0 fields for all collimated lights (host-side
+    per-scene precompute; None when the scene has none)."""
+    mask = np.asarray(collimated_light_mask(lights))
+    if not mask.any():
+        return None
+    total = jnp.zeros((height, width, 3))
+    for li in np.nonzero(mask)[0]:
+        total = total + _laser_direct_raw(
+            gbuffer, lights.affine[int(li)], lights.energy[int(li)],
+            height, width)
+    return total
 
 
 def _rotated_coords(fields: RotatedFields, pos: jax.Array,
@@ -385,7 +462,8 @@ def _mc_point_hist_sources(src_accum: tuple, lights, fields: RotatedFields,
 def _mc_scatter_sources(src_accum: tuple, lights, field_textures,
                         fields: RotatedFields, gbuffer: GBuffer,
                         n_photons: int, key, override_bounces,
-                        light_kinds, exclude_analytic: bool) -> tuple:
+                        light_kinds, exclude_analytic: bool,
+                        exclude_collimated: bool = False) -> tuple:
     """Generic Monte-Carlo direct injection: emit n photons across all
     lights and flat-scatter their energy at their rotated emission cells
     (the TPU expression of WritePhoton's InterlockedAdd,
@@ -403,6 +481,8 @@ def _mc_scatter_sources(src_accum: tuple, lights, field_textures,
     inject = bounces > 0
     if exclude_analytic:
         inject &= ~take_per_light(analytic_light_mask(lights), l_idx)
+    if exclude_collimated:
+        inject &= ~take_per_light(collimated_light_mask(lights), l_idx)
 
     theta = jnp.arctan2(direction[:, 1], direction[:, 0])
     b = jnp.round(theta / bin_width - fields.phase).astype(jnp.int32) % d_bins
@@ -516,7 +596,8 @@ def _bounce_chains(src_accum: tuple, fields: RotatedFields, gbuffer: GBuffer,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_photons", "max_bounces", "analytic_direct", "bounce_photons",
-    "mc_direct", "enable_brdf", "light_kinds", "hist_direct"),
+    "mc_direct", "enable_brdf", "light_kinds", "hist_direct",
+    "exact_collimated"),
     donate_argnames=("src_accum",))
 def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffer,
                     lights, field_textures, brdf_lut, key,
@@ -524,7 +605,8 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
                     analytic_direct: bool = True, bounce_photons: int = 0,
                     mc_direct: bool = True, enable_brdf: bool = True,
                     light_kinds: tuple | None = None,
-                    hist_direct: bool = False):
+                    hist_direct: bool = False,
+                    exact_collimated: bool = False):
     """Trace one frame's photons; accumulate sources into src_accum.
 
     Returns (src_accum, photons_emitted); src_accum is the per-channel
@@ -571,7 +653,8 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
             src_accum = _mc_scatter_sources(
                 src_accum, lights, field_textures, fields, gbuffer,
                 n_photons, k_direct, override_bounces, light_kinds,
-                exclude_analytic=analytic_direct)
+                exclude_analytic=analytic_direct,
+                exclude_collimated=exact_collimated)
 
     if max_bounces >= 2:
         k = (bounce_photons if 0 < bounce_photons < n_photons else n_photons)

@@ -114,6 +114,12 @@ class RBTForwardIntegrator(ForwardIntegrator):
         self._enable_brdf = True
         self._light_kinds = None
         self._hist_direct = False
+        # Exact-direction wave-0 for collimated lights (lasers): zero
+        # variance and no D-bin angular quantization (the MC path fans a
+        # laser by one bin width under the jitter ladder). Scene-static
+        # field added at resolve time.
+        self.exact_collimated = True
+        self._exact_raw = None
         super().__init__(finalize_outscatter, bilinear_writes)
 
     @property
@@ -136,6 +142,7 @@ class RBTForwardIntegrator(ForwardIntegrator):
         self._resolved = None
         self._phase_src = {}
         self._mc_direct = None  # scene-derived static specializations
+        self._exact_raw = None
 
     def integrate(self, scene, key) -> jax.Array:
         from .rbt import zero_sources
@@ -159,11 +166,20 @@ class RBTForwardIntegrator(ForwardIntegrator):
         if self._mc_direct is None:
             import numpy as np
 
-            from .rbt import analytic_light_mask
+            from .rbt import (analytic_light_mask, collimated_direct_raw,
+                              collimated_light_mask)
 
             mask = np.asarray(analytic_light_mask(scene.lights))
             active = np.asarray(scene.lights.active)
-            self._mc_direct = (not self.analytic_direct) or bool(np.any(active & ~mask))
+            collim = np.zeros_like(active)
+            if self.exact_collimated:
+                self._exact_raw = collimated_direct_raw(
+                    gb, scene.lights, gb.height, gb.width)
+                if self._exact_raw is not None:
+                    collim = np.asarray(collimated_light_mask(scene.lights))
+            not_exact = active & ~collim
+            self._mc_direct = ((not self.analytic_direct) and bool(np.any(not_exact))
+                               ) or bool(np.any(not_exact & ~mask))
             self._enable_brdf = bool(np.any(
                 np.asarray(scene.shapes.active)
                 & (np.asarray(scene.shapes.alignment) > 0)))
@@ -182,7 +198,8 @@ class RBTForwardIntegrator(ForwardIntegrator):
             max_bounces=self.max_bounces, bounce_photons=self.bounce_rays,
             mc_direct=self._mc_direct, enable_brdf=self._enable_brdf,
             light_kinds=self._light_kinds, analytic_direct=self.analytic_direct,
-            hist_direct=self._hist_direct)
+            hist_direct=self._hist_direct,
+            exact_collimated=self._exact_raw is not None)
         self._write_count = self._write_count + n  # device-side; no sync
         self._resolved = None
         if self.jitter_bins:
@@ -191,6 +208,13 @@ class RBTForwardIntegrator(ForwardIntegrator):
         # NOTE deliberately returns nothing: reading output_hdr here would
         # force the (expensive) resolve every frame; outputs resolve lazily
         # at readout (display/convergence/dataset writes).
+
+    def _with_exact(self, raw: jax.Array) -> jax.Array:
+        """Add the scene-static exact collimated wave-0 field (it is a
+        per-frame deposit, so it scales with accumulated iterations)."""
+        if self._exact_raw is None:
+            return raw
+        return raw + self._exact_raw * jnp.float32(self.iterations_since_clear)
 
     @property
     def output_hdr(self) -> jax.Array:
@@ -205,13 +229,15 @@ class RBTForwardIntegrator(ForwardIntegrator):
                                       gb.height, gb.width, traced_phase=True)
                     total = raw if total is None else total + raw
                 self._resolved = total
-            return to_hdr(self._resolved, jnp.float32(self.iterations_since_clear),
+            return to_hdr(self._with_exact(self._resolved),
+                          jnp.float32(self.iterations_since_clear),
                           gb, self.finalize_outscatter)
         if self._src is None:
             return jnp.zeros((gb.height, gb.width, 3))
         if self._resolved is None:
             self._resolved = resolve_raw(self._fields, self._src, gb.height, gb.width)
-        return to_hdr(self._resolved, jnp.float32(self.iterations_since_clear),
+        return to_hdr(self._with_exact(self._resolved),
+                      jnp.float32(self.iterations_since_clear),
                       gb, self.finalize_outscatter)
 
 

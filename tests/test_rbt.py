@@ -210,3 +210,69 @@ def test_rbt_bounce_culling_unbiased(setup):
     full = np.mean([total(0, jax.random.key(20 + i)) for i in range(2)])
     culled = np.mean([total(4096, jax.random.key(30 + i)) for i in range(2)])
     assert abs(culled / full - 1) < 0.05, (full, culled)
+
+
+def test_exact_collimated_matches_mc_laser():
+    """The exact-direction laser wave-0 field (one-bin rotated scan at the
+    laser's true angle) must match the converged MC direct deposits when
+    the laser direction coincides with a bin angle (so the MC path's
+    angular quantization is exact too)."""
+    import numpy as np
+
+    from litbox_tpu.core import luts
+    from litbox_tpu.scene import SceneBuilder, rasterize
+    from litbox_tpu.sim import rbt
+
+    w = 64
+    b = SceneBuilder()
+    # rotation pi/2 -> direction (sin, -cos) = (+1, 0): exactly bin 0
+    b.add_laser_light((8, w / 2), (6, 1), rotation=np.pi / 2,
+                      color=(1.0, 0.8, 0.5), intensity=1.2, bounces=1)
+    b.add_rect((w / 2, w / 2), (w, w), color=(1, 1, 1, 1), log_density=-1.3)
+    scene = b.build()
+    gb = rasterize(scene, w, w)
+    brdf = jnp.asarray(luts.brdf_lut((16, 5, 3)))
+    fields = rbt.precompute_rotated_fields(gb, n_bins=64)
+
+    exact = np.asarray(rbt.collimated_direct_raw(gb, scene.lights, w, w))
+    assert exact is not None and np.isfinite(exact).all()
+
+    frames = 60
+    rays = 8192
+    src = rbt.zero_sources(fields)
+    for f in range(frames):
+        src, _ = rbt.rbt_trace_frame(
+            fields, src, gb, scene.lights, scene.field_textures, brdf,
+            jax.random.key(f), rays, jnp.int32(-1), max_bounces=1,
+            analytic_direct=False, mc_direct=True, exact_collimated=False)
+    mc = np.asarray(rbt.resolve_raw(fields, src, w, w)) / frames
+
+    # Total deposited energy agrees.
+    assert abs(exact.sum() / mc.sum() - 1.0) < 0.05, (exact.sum(), mc.sum())
+    # Pointwise agreement in the energetic region (top decile of the beam).
+    thresh = np.percentile(mc.sum(-1), 97)
+    sel = mc.sum(-1) > thresh
+    rel = np.abs(exact[sel] - mc[sel]) / (mc[sel] + 1e-4)
+    assert np.median(rel) < 0.15, float(np.median(rel))
+
+
+def test_exact_collimated_energy_on_empty_field():
+    """In vacuum no energy out-scatters: the raw field carries the beam's
+    in-flight energy (like the MC deposits), but the HDR output (which
+    applies the 1-t outscatter factor, to_hdr) must be ~zero."""
+    import numpy as np
+
+    from litbox_tpu.scene import SceneBuilder, rasterize
+    from litbox_tpu.sim import rbt
+    from litbox_tpu.sim.oracle import to_hdr
+
+    w = 48
+    b = SceneBuilder()
+    b.add_laser_light((8, w / 2), (4, 1), rotation=np.pi / 2, intensity=1.0,
+                      bounces=1)
+    scene = b.build()
+    gb = rasterize(scene, w, w)
+    exact = rbt.collimated_direct_raw(gb, scene.lights, w, w)
+    assert float(jnp.abs(exact).sum()) > 0.0  # beam energy is in flight
+    hdr = np.asarray(to_hdr(exact, jnp.float32(1.0), gb))
+    assert float(np.abs(hdr).max()) < 1e-4
