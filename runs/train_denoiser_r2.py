@@ -137,9 +137,12 @@ while time.time() - t0 < budget:
             print(f"{time.time()-t0:7.1f}s step {step} [{name}] loss {loss:.5f}", flush=True)
         if time.time() - t0 > budget:
             break
-    if time.time() - t0 - last_eval > 1200:
+    if time.time() - t0 - last_eval > 1800:
         last_eval = time.time() - t0
-        trainer.save("/root/repo/runs/denoiser_r2/model.npz", include_optimizer=True)
+        # Periodic saves skip the optimizer state: fetching the full 3.8 GB
+        # trainer state through the ~13 MB/s tunnel costs ~5 minutes; the
+        # 1.3 GB params+stats take ~100 s. Final save keeps the optimizer.
+        trainer.save("/root/repo/runs/denoiser_r2/model.npz", include_optimizer=False)
         b, d = heldout_gain(3)
         print(f"CHECKPOINT {last_eval:.0f}s heldout base {b:.2f} dB denoised {d:.2f} dB "
               f"gain {d-b:+.2f} dB", flush=True)
