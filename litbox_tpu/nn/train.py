@@ -33,6 +33,7 @@ class TrainConfig:
     initial_features: int = 32
     padding_mode: str = "reflect"
     use_sigmoid: bool = False
+    global_residual: bool = False
     learn_rate: float = 1e-5
     weight_decay: float = 0.01
     grad_clip: float = 1.0
@@ -65,7 +66,8 @@ class Trainer:
         self.cfg = cfg
         self.model = LitboxDenoiserNet(
             unet_size=cfg.unet_size, initial_features=cfg.initial_features,
-            padding_mode=cfg.padding_mode, use_sigmoid=cfg.use_sigmoid)
+            padding_mode=cfg.padding_mode, use_sigmoid=cfg.use_sigmoid,
+            global_residual=cfg.global_residual)
         key = jax.random.key(cfg.seed)
         dummy = jnp.zeros((1, cfg.crop_size, cfg.crop_size, 1))
         variables = self.model.init(key, dummy, train=False)

@@ -73,12 +73,21 @@ def pixel_shuffle(x: jax.Array, r: int = 2) -> jax.Array:
 
 
 class LitboxDenoiserNet(nn.Module):
-    """Single-channel denoiser UNet (litbox_model.py:27-302)."""
+    """Single-channel denoiser UNet (litbox_model.py:27-302).
+
+    global_residual=True adds the network input to the output with a
+    zero-initialized final conv, so the untrained model IS the identity and
+    training only learns the noise correction — standard practice for
+    budget-bound denoiser training. Off by default: the reference
+    architecture has no global skip, and torch-parity import/export
+    (import_torch_state / nn.export) uses the reference layout.
+    """
 
     unet_size: int = 5
     initial_features: int = 32
     padding_mode: str = "reflect"
     use_sigmoid: bool = False
+    global_residual: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -112,7 +121,12 @@ class LitboxDenoiserNet(nn.Module):
             y = ResidualBlock(c, pm, name=f"skip{i}a")(y, train)
             y = ResidualBlock(c, pm, name=f"skip{i}b")(y, train)
 
-        y = Conv3x3(1, "zeros", name="conv_out")(y)
+        if self.global_residual:
+            y = nn.Conv(1, (3, 3), padding="SAME", name="conv_out",
+                        kernel_init=nn.initializers.zeros)(y)
+            y = y + x
+        else:
+            y = Conv3x3(1, "zeros", name="conv_out")(y)
         if self.use_sigmoid:
             y = nn.sigmoid(y)
         return y

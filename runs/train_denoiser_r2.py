@@ -84,7 +84,7 @@ stages = [("Easy", stage("Easy", 2, train_ids, CROP)),
 
 cfg = TrainConfig(unet_size=3 if SMOKE else 5, initial_features=8 if SMOKE else 32,
                   crop_size=CROP, learn_rate=1e-4, epochs=1,
-                  batch_size=2 if SMOKE else 8,
+                  batch_size=2 if SMOKE else 8, global_residual=True,
                   transform=TransformConfig(normalize_input=True))
 trainer = Trainer(cfg)
 if "--resume" in sys.argv:
