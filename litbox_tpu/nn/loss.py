@@ -32,11 +32,18 @@ class HdrLossConfig:
     beta: float = 0.4         # gradient term weight
     gamma: float = 0.2        # plain L1 weight
     base_weight: float = 0.5  # dark bias
+    # Optional ceiling on the adaptive weight (None = reference behavior).
+    # HDR peaks make (target+base)^alpha span 1e4+ within a batch, so a
+    # single bright crop dominates every gradient at short-budget learning
+    # rates; the reference absorbs this with lr 1e-5 over days.
+    weight_cap: float | None = None
 
 
 def hdr_loss(pred: jax.Array, target: jax.Array,
              cfg: HdrLossConfig = HdrLossConfig()) -> jax.Array:
     weights = (target + cfg.base_weight) ** cfg.alpha
+    if cfg.weight_cap is not None:
+        weights = jnp.minimum(weights, cfg.weight_cap)
     adaptive_l2 = jnp.mean(weights * (pred - target) ** 2)
 
     gx_p = _depthwise3x3(pred, SOBEL_X)

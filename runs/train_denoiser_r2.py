@@ -82,9 +82,20 @@ stages = [("Easy", stage("Easy", 2, train_ids, CROP)),
           ("Medium", stage("Medium", 1, train_ids, CROP)),
           ("Final", stage("Final", 0, train_ids, CROP))]
 
-cfg = TrainConfig(unet_size=3 if SMOKE else 5, initial_features=8 if SMOKE else 32,
-                  crop_size=CROP, learn_rate=1e-4, epochs=1,
-                  batch_size=2 if SMOKE else 8, global_residual=True,
+import os as _os
+
+UNET = int(_os.environ.get("LITBOX_TRAIN_UNET", "5"))
+FEATS = int(_os.environ.get("LITBOX_TRAIN_FEATS", "32"))
+LR = float(_os.environ.get("LITBOX_TRAIN_LR", "1e-4"))
+BATCH = int(_os.environ.get("LITBOX_TRAIN_BATCH", "8"))
+WCAP = float(_os.environ.get("LITBOX_TRAIN_WCAP", "0")) or None
+from litbox_tpu.nn.loss import HdrLossConfig
+
+cfg = TrainConfig(unet_size=3 if SMOKE else UNET,
+                  initial_features=8 if SMOKE else FEATS,
+                  crop_size=CROP, learn_rate=LR, epochs=1,
+                  batch_size=2 if SMOKE else BATCH, global_residual=True,
+                  loss=HdrLossConfig(weight_cap=WCAP),
                   transform=TransformConfig(normalize_input=True))
 trainer = Trainer(cfg)
 if "--resume" in sys.argv:
