@@ -130,8 +130,16 @@ step = 0
 last_eval = 0.0
 budget = minutes * 60
 
-# time-sliced curriculum: 30% Easy, 30% Medium, 40% Final
+# time-sliced curriculum: 30% Easy, 30% Medium, 40% Final.
+# LITBOX_TRAIN_MIX=1 instead samples a random stage per pass — the 4.6k-step
+# models over-adapt to whichever profile they saw last, so a mixed polish
+# balances performance across noise levels.
+MIX = _os.environ.get("LITBOX_TRAIN_MIX", "") == "1"
+
+
 def active_stage() -> tuple:
+    if MIX:
+        return stages[int(rng.integers(0, len(stages)))]
     f = (time.time() - t0) / budget
     return stages[0] if f < 0.3 else stages[1] if f < 0.6 else stages[2]
 
