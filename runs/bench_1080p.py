@@ -88,13 +88,17 @@ def main():
 
     pad_h = (32 - SIM_H % 32) % 32  # UNet needs /32 (5 pool levels)
 
-    def denoise(hdr):
+    # NOTE: model variables are threaded as jit ARGUMENTS everywhere below.
+    # Closing over them bakes the weights into the HLO as constants, and the
+    # tunnel's remote-compile endpoint rejects the multi-hundred-MB payload
+    # (HTTP 413) — aside from being wasteful to re-ship per compile.
+    def denoise(hdr, model_vars):
         x = hdr.transpose(2, 0, 1)[..., None]             # (3, H, W, 1)
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, 0), (0, 0)), mode="reflect")
         if use_bf16:
             x = x.astype(jnp.bfloat16)
         xin, stats = pre_transform(x, tcfg.transform)
-        out = model.apply(variables, xin, train=False)
+        out = model.apply(model_vars, xin, train=False)
         out = post_transform(out, stats, tcfg.transform)
         out = out.astype(jnp.float32)[:, :SIM_H, :, 0].transpose(1, 2, 0)
         return out
@@ -115,9 +119,9 @@ def main():
         def resolve(src):
             return rbt.resolve_raw(fields, src, SIM_H, SIM_W)
 
-        def display(raw, iters):
+        def display(raw, iters, model_vars):
             hdr = to_hdr(raw, iters, gb, finalize_outscatter=True)
-            den = denoise(hdr)
+            den = denoise(hdr, model_vars)
             return tonemap_uchimura(upsample(den) * 0.5, UchimuraShape())
 
         return trace, resolve, display
@@ -142,13 +146,13 @@ def main():
         return c
 
     @jax.jit
-    def display_once(raw):
-        return display(raw, jnp.float32(1.0))[0, 0, 0]
+    def display_once(raw, model_vars):
+        return display(raw, jnp.float32(1.0), model_vars)[0, 0, 0]
 
     @jax.jit
-    def fused_once(src, key):
+    def fused_once(src, key, model_vars):
         src = trace(src, key)
-        return display(resolve(src), jnp.float32(1.0))[0, 0, 0]
+        return display(resolve(src), jnp.float32(1.0), model_vars)[0, 0, 0]
 
     rtt = measure_rtt()
     print(f"rtt {rtt*1000:.1f} ms")
@@ -171,8 +175,8 @@ def main():
     src1 = jax.jit(trace)(src0, key)
     t_resolve = time_fn("resolve", resolve_frames, src1)
     raw1 = jax.jit(resolve)(src1)
-    t_display = time_fn("display", display_once, raw1, per_frame=1)
-    t_fused = time_fn("FUSED  ", fused_once, src0, key, per_frame=1)
+    t_display = time_fn("display", display_once, raw1, variables, per_frame=1)
+    t_fused = time_fn("FUSED  ", fused_once, src0, key, variables, per_frame=1)
     fps = 1.0 / t_fused
     print(f"1080p fused: {t_fused*1000:.2f} ms/frame = {fps:.1f} FPS "
           f"(target 60; stages {t_trace*1e3:.1f}+{t_resolve*1e3:.1f}+{t_display*1e3:.1f})")
