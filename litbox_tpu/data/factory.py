@@ -43,7 +43,11 @@ DEFAULT_INPUT_PROFILES = (
 )
 DEFAULT_CONVERGENCE_PROFILE = SimulationProfile(-1, 32768, 0.01, 4)
 
-LIGHT_TYPE_WEIGHTS = {"Directional": 0.0, "Point": 0.25, "Spot": 0.25, "Laser": 0.1}
+# The reference weights Directional 0.0 ("Disabled because it has bugs",
+# TrainingManager.cs:343) but its demo scenes use directional lights. Our
+# exact-direction collimated wave-0 (rbt.collimated_direct_raw) has no such
+# bugs, so the type is enabled at a small weight to cover the demo regime.
+LIGHT_TYPE_WEIGHTS = {"Directional": 0.05, "Point": 0.25, "Spot": 0.25, "Laser": 0.1}
 
 
 def _next_range(rng, lo, hi, bias=0.0):

@@ -19,6 +19,9 @@ class TextureType(enum.Enum):
     HDR = "hdr"
     VARIANCE = "variance"
     IMPORTANCE = "importance"
+    FORWARD_ACCUMULATION = "forward_accumulation"
+    AI_TONEMAPPED = "ai_tonemapped"
+    AI_HDR = "ai_hdr"
     ALBEDO = "albedo"
     TRANSMISSIBILITY = "transmissibility"
     NORMAL_ROUGHNESS = "normal_roughness"
@@ -27,8 +30,13 @@ class TextureType(enum.Enum):
     ANALYSIS_B = "analysis_b"
 
 
-def pick(sim, which: TextureType) -> np.ndarray:
-    """Fetch a named buffer from a Simulation as (H, W, 3) float display RGB."""
+def pick(sim, which: TextureType, ai=None) -> np.ndarray:
+    """Fetch a named buffer from a Simulation as (H, W, 3) float display RGB.
+
+    `ai` is an optional engine.pipeline.AIAccelerator supplying the AI_HDR /
+    AI_TONEMAPPED views (the reference wires the accelerator into the picker
+    the same way, SimulationTexturePicker.cs:23,72-77); without one those
+    views render black, matching the reference's disabled-AI behavior."""
     import jax.numpy as jnp
 
     def norm01(x):
@@ -50,6 +58,18 @@ def pick(sim, which: TextureType) -> np.ndarray:
         if sim.importance_map is None:
             return np.zeros((sim.height // 2, sim.width // 2, 3), np.float32)
         return gray(norm01(sim.importance_map[0]))
+    if which == TextureType.FORWARD_ACCUMULATION:
+        # Raw pre-HDR accumulated deposits of tracer A
+        # (SimulationTexturePicker.cs:96-97 via ITracerDebug).
+        return gray(norm01(sim.tracer_a.forward.raw_accumulation))
+    if which == TextureType.AI_HDR:
+        if ai is None or ai.hdr_output is None:
+            return np.zeros((sim.height, sim.width, 3), np.float32)
+        return np.asarray(tonemap_ue5(jnp.asarray(ai.hdr_output)))
+    if which == TextureType.AI_TONEMAPPED:
+        if ai is None or ai.tonemapped_output is None:
+            return np.zeros((sim.height, sim.width, 3), np.float32)
+        return np.asarray(ai.tonemapped_output, dtype=np.float32)
     if which == TextureType.ALBEDO:
         return np.asarray(sim.gbuffer.albedo[..., :3])
     if which == TextureType.TRANSMISSIBILITY:
@@ -80,13 +100,13 @@ def pick(sim, which: TextureType) -> np.ndarray:
     raise ValueError(which)
 
 
-def dump_all(sim, folder: str) -> list[str]:
+def dump_all(sim, folder: str, ai=None) -> list[str]:
     from ..io.images import write_png
 
     os.makedirs(folder, exist_ok=True)
     paths = []
     for which in TextureType:
-        img = pick(sim, which)
+        img = pick(sim, which, ai=ai)
         path = os.path.join(folder, f"{which.value}.png")
         write_png(path, np.clip(img, 0, 1), srgb_encode=False)
         paths.append(path)

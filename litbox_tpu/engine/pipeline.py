@@ -35,6 +35,63 @@ class PipelineConfig:
     transform: TransformConfig = dataclasses.field(default_factory=TransformConfig)
 
 
+def denoise_hdr(model: "LitboxDenoiserNet", model_variables: Any,
+                hdr: jax.Array, transform: TransformConfig) -> jax.Array:
+    """Run the mono UNet over an (H, W, 3) HDR image, channels as batch.
+
+    Reflect-pads to multiples of 32 (2^unet_size pool levels) so arbitrary
+    sim sizes — e.g. the 480x272 quarter-1080p target — work in one jit.
+    """
+    h, w = hdr.shape[:2]
+    ph = (32 - h % 32) % 32
+    pw = (32 - w % 32) % 32
+    x = hdr.transpose(2, 0, 1)[..., None]
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+    xin, stats = pre_transform(x, transform)
+    out = model.apply(model_variables, xin, train=False)
+    out = post_transform(out, stats, transform)
+    return out[:, :h, :w, 0].transpose(1, 2, 0)
+
+
+class AIAccelerator:
+    """In-engine denoiser: runs the model on SimulationOutputHDR every step
+    and exposes HDR + tone-mapped outputs (the ENABLED version of the
+    reference's AIAccelerator, AIAccelerator.cs:57-84, whose whole file is
+    compiled out behind TEMPORARILY_DISABLED; its texture<->tensor dance is
+    just jnp arrays here). The outputs feed the picker's AI_HDR /
+    AI_ToneMapped views (SimulationTexturePicker.cs:10-11,72-77)."""
+
+    def __init__(self, simulation, model_variables: Any,
+                 unet_size: int = 5, initial_features: int = 32,
+                 transform: TransformConfig | None = None,
+                 tonemap: str = "ue5"):
+        self.simulation = simulation
+        self.model_variables = model_variables
+        self.transform = transform or TransformConfig()
+        self.tonemap = tonemap
+        self.model = LitboxDenoiserNet(unet_size=unet_size,
+                                       initial_features=initial_features)
+        self.hdr_output: jax.Array | None = None
+        self.tonemapped_output: jax.Array | None = None
+        self._run = jax.jit(lambda variables, hdr: denoise_hdr(
+            self.model, variables, hdr, self.transform))
+        simulation.on_step.append(self._on_step)
+
+    def _on_step(self, _iteration=None):
+        hdr = jnp.asarray(self.simulation.simulation_output_hdr)
+        self.hdr_output = self._run(self.model_variables, hdr)
+        if self.tonemap == "uchimura":
+            self.tonemapped_output = tonemap_uchimura(self.hdr_output,
+                                                      UchimuraShape())
+        else:
+            self.tonemapped_output = tonemap_ue5(self.hdr_output, UE5Shape())
+
+    def detach(self):
+        if self._on_step in self.simulation.on_step:
+            self.simulation.on_step.remove(self._on_step)
+
+
 def make_frame_fn(cfg: PipelineConfig, gbuffer, lights, field_textures, brdf_lut,
                   fields: rbt.RotatedFields, model_variables: Any | None = None):
     """Build the jittable frame function.
@@ -49,19 +106,8 @@ def make_frame_fn(cfg: PipelineConfig, gbuffer, lights, field_textures, brdf_lut
     def denoise(hdr: jax.Array) -> jax.Array:
         if not cfg.denoise or model_variables is None:
             return hdr
-        # Channels as batch: (3, H, W, 1) through the mono UNet. Reflect-pad
-        # to multiples of 32 (2^unet_size pool levels) so arbitrary sim
-        # sizes — e.g. the 480x272 quarter-1080p target — work in one jit.
-        h, w = hdr.shape[:2]
-        ph = (32 - h % 32) % 32
-        pw = (32 - w % 32) % 32
-        x = hdr.transpose(2, 0, 1)[..., None]
-        if ph or pw:
-            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
-        xin, stats = pre_transform(x, cfg.transform)
-        out = model.apply(model_variables, xin, train=False)
-        out = post_transform(out, stats, cfg.transform)
-        return out[:, :h, :w, 0].transpose(1, 2, 0)
+        # Channels as batch: (3, H, W, 1) through the mono UNet.
+        return denoise_hdr(model, model_variables, hdr, cfg.transform)
 
     def tonemap(x: jax.Array) -> jax.Array:
         x = x * (10.0 ** cfg.exposure)

@@ -67,6 +67,11 @@ class Simulation:
     measurement_interval: int = 100
     seed: int = 0
     engine: str = "rbt"  # 'rbt' (production) or 'oracle' (reference semantics)
+    # Hybrid-strategy forward->backward refresh cadence: 1 = reference
+    # cadence (HybridTracer.cs:17, backward re-reads the forward HDR every
+    # frame); REALTIME mode opts into 4 to amortize the RBT resolve unless
+    # set explicitly (tracers.HybridTracer docstring).
+    forward_refresh_interval: int | None = None
 
     def __post_init__(self):
         self._tracers = None
@@ -169,8 +174,15 @@ class Simulation:
 
     def _validate_tracers(self):
         if self._strategy_built != (self.strategy, self.engine):
-            cls = LightTransportTracer if self.strategy == Strategy.LIGHT_TRANSPORT else HybridTracer
-            self._tracers = [cls(engine=self.engine), cls(engine=self.engine)]
+            if self.strategy == Strategy.LIGHT_TRANSPORT:
+                make = lambda: LightTransportTracer(engine=self.engine)
+            else:
+                refresh = self.forward_refresh_interval
+                if refresh is None:
+                    refresh = 4 if self.mode == Mode.REALTIME else 1
+                make = lambda: HybridTracer(engine=self.engine,
+                                            forward_refresh_interval=refresh)
+            self._tracers = [make(), make()]
             self._strategy_built = (self.strategy, self.engine)
             self._dirty = True
         for t in self._tracers:

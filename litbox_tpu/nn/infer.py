@@ -29,6 +29,19 @@ def infer_large(run_mono, img: np.ndarray, tile: int = 256, overlap: int = 32,
     batching cuts round-trips ~batch*C-fold with identical results.
     """
     h, w, c = img.shape
+    if h < tile or w < tile:
+        if min(h, w) < 2:
+            raise ValueError(f"input too small to denoise: {img.shape}")
+        # Sub-tile input: reflect-pad up to one tile, denoise, crop back.
+        # (Without this the y + tile <= h filter drops every tile and the
+        # counts-normalized output would be silently all zero.)
+        padded = img
+        while padded.shape[0] < tile or padded.shape[1] < tile:
+            py = min(tile - padded.shape[0], padded.shape[0] - 1)
+            px = min(tile - padded.shape[1], padded.shape[1] - 1)
+            padded = np.pad(padded, ((0, max(py, 0)), (0, max(px, 0)), (0, 0)),
+                            mode="reflect")
+        return infer_large(run_mono, padded, tile, overlap, batch)[:h, :w]
     stride = tile - overlap
     out = np.zeros_like(img, dtype=np.float32)
     counts = np.zeros((h, w, 1), dtype=np.float32)

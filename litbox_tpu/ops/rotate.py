@@ -53,7 +53,7 @@ def _shear_kernel_factory(row_div: int, elem_scale: int, n_texels: int,
         # negative shifts on multi-vreg rows (observed off-by-128 lanes).
         rolled = pltpu.roll(block, (-base * elem_scale) % width, axis=1)
 
-        acc = jnp.zeros((ROW_BLOCK, width), img_ref.dtype)
+        acc = jnp.zeros((ROW_BLOCK, width), jnp.float32)
         src_texel = lane_texel + i_vec  # (8, W) sampled texel for v0
         valid0 = (src_texel >= 0) & (src_texel < n_texels)
         valid1 = (src_texel + 1 >= 0) & (src_texel + 1 < n_texels)
@@ -61,8 +61,8 @@ def _shear_kernel_factory(row_div: int, elem_scale: int, n_texels: int,
             shifted = pltpu.roll(rolled, (-k * elem_scale) % width, axis=1)
             w0 = jnp.where((res == k) & valid0, 1.0 - f_vec * jnp.ones((1, width)), 0.0)
             w1 = jnp.where((res == k - 1) & valid1, f_vec * jnp.ones((1, width)), 0.0)
-            acc = acc + shifted * (w0 + w1)
-        out_ref[0] = acc
+            acc = acc + shifted.astype(jnp.float32) * (w0 + w1)
+        out_ref[0] = acc.astype(out_ref.dtype)
 
     return kernel
 

@@ -13,6 +13,7 @@ and is temporally accumulated then divided by the frame count.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -100,8 +101,15 @@ def backward_bin_for_frame(frame: int, n_bins: int) -> int:
     """Direction bin for backward frame f: a coprime-stride ladder that
     visits every bin exactly once per n_bins frames (deterministic cubature
     — after a full cycle the accumulated gather is the exact integral over
-    the D-quantized direction fan, with zero angular sampling noise)."""
-    stride = _BIN_STRIDE if n_bins % _BIN_STRIDE else _BIN_STRIDE + 2
+    the D-quantized direction fan, with zero angular sampling noise).
+
+    The stride is searched upward from _BIN_STRIDE until gcd(stride,
+    n_bins) == 1 (a fixed +2 fallback is NOT coprime for e.g.
+    n_bins = 329 = 7*47, where gcd(49, 329) = 7 would visit only 1/7 of
+    the fan and bias the accumulated gather to a direction subset)."""
+    stride = _BIN_STRIDE
+    while math.gcd(stride, n_bins) != 1:
+        stride += 2
     return (frame * stride) % n_bins
 
 

@@ -150,6 +150,21 @@ def emit(lights: Lights, field_textures: jax.Array, l_idx: jax.Array,
     dperp = jnp.stack([dl[:, 1], -dl[:, 0]], -1)
     dir_origin = (0.5 - dl + dperp * (r[:, 0] * 1.415 - 0.7075)[:, None]) * size
     dir_dir = dl
+    dir_miss = jnp.zeros((n,), bool)
+    if want(LIGHT_DIRECTIONAL):
+        # The raw segment sits a full frame outside the target; advance each
+        # origin to its frame-entry point (outside is vacuum, so entering
+        # unattenuated at the boundary is exact) — keeps wave-0 deposits
+        # inside the transport fields instead of clamping onto edge cells.
+        # Rays that miss the frame entirely carry zero energy.
+        safe = jnp.where(jnp.abs(dl) < 1e-9,
+                         jnp.where(dl < 0, -1e-9, 1e-9), dl)
+        ta = -dir_origin / safe
+        tb = (size - dir_origin) / safe
+        t_enter = jnp.max(jnp.minimum(ta, tb), axis=-1)
+        t_exit = jnp.min(jnp.maximum(ta, tb), axis=-1)
+        dir_miss = t_exit <= jnp.maximum(t_enter, 0.0)
+        dir_origin = dir_origin + dl * jnp.maximum(t_enter + 1e-3, 0.0)[:, None]
 
     # --- Default (:296-304) ---
     def_origin = jnp.stack([r[:, 0] * size[0], jnp.zeros((n,))], -1)
@@ -175,6 +190,8 @@ def emit(lights: Lights, field_textures: jax.Array, l_idx: jax.Array,
             * (float(width * height) / interval)[..., None] / rays[:, None])
     energy = base * jnp.where((kind == LIGHT_POINT)[:, None], point_scale[:, None], 1.0)
     energy = energy * jnp.where((kind == LIGHT_FIELD)[:, None], field_energy_mod, 1.0)
+    energy = jnp.where(((kind == LIGHT_DIRECTIONAL) & dir_miss)[:, None],
+                       0.0, energy)
 
     bounces = jnp.where(override_bounces >= 0, override_bounces,
                         take_per_light(lights.bounces, l_idx))

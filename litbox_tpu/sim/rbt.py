@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.types import (
+    LIGHT_DIRECTIONAL,
     LIGHT_LASER,
     LIGHT_POINT,
     GBuffer,
@@ -146,13 +147,23 @@ def zero_sources(fields: RotatedFields) -> tuple:
 ANALYTIC_STAMP = 16  # disk stamp width; point lights with radius > stamp/2-1 fall back to MC
 
 
-def analytic_light_mask(lights) -> jax.Array:
+def _effective_bounces(lights, override_bounces) -> jax.Array:
+    """Per-light bounce count with Simulation.photon_bounces folded in
+    (override >= 0 replaces every light's own count, emission.py)."""
+    if override_bounces is None:
+        return lights.bounces
+    override = jnp.asarray(override_bounces, jnp.int32)
+    return jnp.where(override >= 0, override, lights.bounces)
+
+
+def analytic_light_mask(lights, override_bounces=None) -> jax.Array:
     """(L,) True for lights whose wave-0 deposits are injected analytically."""
     radius = jnp.sqrt(jnp.abs(
         lights.affine[:, 0, 0] * lights.affine[:, 1, 1]
         - lights.affine[:, 0, 1] * lights.affine[:, 1, 0]))
     return ((lights.kind == LIGHT_POINT) & lights.active
-            & (radius < ANALYTIC_STAMP / 2 - 1) & (lights.bounces != 0))
+            & (radius < ANALYTIC_STAMP / 2 - 1)
+            & (_effective_bounces(lights, override_bounces) != 0))
 
 
 def _analytic_point_sources(src_accum: jax.Array, lights, light_mask,
@@ -208,31 +219,44 @@ def _analytic_point_sources(src_accum: jax.Array, lights, light_mask,
                         jnp.concatenate(all_vals))
 
 
-def collimated_light_mask(lights) -> jax.Array:
+def collimated_light_mask(lights, override_bounces=None) -> jax.Array:
     """(L,) True for lights whose wave-0 deposits are computed exactly along
-    their true direction (collimated sources; currently lasers)."""
-    return (lights.kind == LIGHT_LASER) & lights.active & (lights.bounces != 0)
+    their true direction (collimated sources: lasers and directional
+    lights — both emit parallel rays, ForwardMonteCarlo.compute:243-251,
+    282-294, so their expected direct field is a single-direction
+    attenuation recurrence with no D-bin angular quantization)."""
+    return (((lights.kind == LIGHT_LASER) | (lights.kind == LIGHT_DIRECTIONAL))
+            & lights.active
+            & (_effective_bounces(lights, override_bounces) != 0))
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
+@functools.partial(jax.jit, static_argnames=("height", "width", "rot_size"))
 def _laser_direct_raw(gbuffer: GBuffer, affine: jax.Array, energy: jax.Array,
-                      height: int, width: int) -> jax.Array:
-    """Exact wave-0 deposit field of ONE laser (H, W, 3).
+                      height: int, width: int, rot_size: int = 0) -> jax.Array:
+    """Exact wave-0 deposit field of ONE collimated light (H, W, 3).
 
-    A laser's rays are parallel, so its expected direct-light field obeys a
-    1D attenuation recurrence ALONG THE EXACT BEAM DIRECTION — computable
-    with the existing RBT machinery as a one-bin rotated field at the
-    laser's own angle (instead of snapping to the D-bin fan): rasterize the
-    emitting rect's coverage on the rotated grid analytically, scan, rotate
-    back. Zero variance AND zero angular quantization: D-bin MC lasers show
-    a one-bin-wide fan (~2pi/D) under the jitter ladder; this kills it.
-    Energy matches the MC path: total injected = energy * W * H (the
-    emit() convention at interval=1, emission.py).
+    A collimated light's rays are parallel, so its expected direct-light
+    field obeys a 1D attenuation recurrence ALONG THE EXACT BEAM DIRECTION —
+    computable with the existing RBT machinery as a one-bin rotated field at
+    the light's own angle (instead of snapping to the D-bin fan): rasterize
+    the emitting rect's coverage on the rotated grid analytically, scan,
+    rotate back. Zero variance AND zero angular quantization: D-bin MC
+    collimated lights show a one-bin-wide fan (~2pi/D) under the jitter
+    ladder; this kills it. Energy matches the MC path: total injected =
+    energy * W * H (the emit() convention at interval=1, emission.py).
+
+    The emitting rect is the affine's local x in [-1/2, 1/2], y in [0, 1]
+    (laser_origin, emission.py:116) with flight direction -affine[:, 1];
+    directional lights pass a synthesized affine for their entry segment
+    (_directional_affine) plus a rot_size large enough to contain it
+    (the segment sits a full frame outside the target, emission.py:151;
+    outside-of-frame texels are vacuum — gather_bilinear_mxu zero-pads,
+    so log-transmissibility is 0 there).
     """
     d = -affine[:, 1]
     d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
     theta = jnp.arctan2(d[1], d[0])
-    fields = precompute_rotated_fields(gbuffer, n_bins=1,
+    fields = precompute_rotated_fields(gbuffer, n_bins=1, rot_size=rot_size,
                                        phase=theta / (2.0 * jnp.pi))
     s = fields.size
 
@@ -261,21 +285,57 @@ def _laser_direct_raw(gbuffer: GBuffer, affine: jax.Array, energy: jax.Array,
     src = cov[None] / jnp.maximum(cov.sum(), 1e-12)
     deposited = attenuation_scan(
         fields, tuple(src * total[c] for c in range(3)))
-    return rotate_back(fields, deposited, height, width)
+    # traced_phase: the field's angle lives in fields.phase; the static
+    # rotate-back path would bake a 0-degree schedule for a 1-bin fan.
+    return rotate_back(fields, deposited, height, width, traced_phase=True)
+
+
+def _directional_affine(affine: np.ndarray, height: int,
+                        width: int) -> tuple[np.ndarray, int]:
+    """Synthesize the emitting-rect affine (and the rotated-field size that
+    contains it) for a directional light's entry segment.
+
+    EmitDirectionalLight (ForwardMonteCarlo.compute:282-294, mirrored in
+    emission.py:147-152) emits origins on the pixel-space segment
+        p(t) = (0.5 - dl + t * dperp) * size,  t in [-0.7075, 0.7075]
+    flying along dl.  _laser_direct_raw's local frame (x in [-1/2, 1/2]
+    across the beam, y in [0, 1] along -direction) expresses that segment as
+    columns [1.415 * dperp * size, -dl, p(0)]: a 1-texel-deep rect whose
+    normalized coverage IS the emission density (absolute thickness cancels
+    in the cov/cov.sum() normalization)."""
+    size = np.array([width, height], np.float64)
+    dl = -affine[:, 1]
+    dl = dl / max(np.linalg.norm(dl), 1e-12)
+    dperp = np.array([dl[1], -dl[0]])
+    col0 = 1.415 * dperp * size
+    center = (0.5 - dl) * size
+    synth = np.stack([col0, -dl, center], axis=1).astype(np.float32)
+
+    # The rotated field must contain both the frame and the segment.
+    half_span = max(
+        float(np.linalg.norm(center - 0.5 * size) + 0.5 * np.linalg.norm(col0)),
+        0.5 * float(np.hypot(height, width))) + 2.0
+    rot_size = int(-(-int(np.ceil(2.0 * half_span)) // 256) * 256)
+    return synth, rot_size
 
 
 def collimated_direct_raw(gbuffer: GBuffer, lights, height: int,
-                          width: int) -> jax.Array | None:
+                          width: int, override_bounces=None) -> jax.Array | None:
     """Sum of exact wave-0 fields for all collimated lights (host-side
     per-scene precompute; None when the scene has none)."""
-    mask = np.asarray(collimated_light_mask(lights))
+    mask = np.asarray(collimated_light_mask(lights, override_bounces))
     if not mask.any():
         return None
+    kinds = np.asarray(lights.kind)
     total = jnp.zeros((height, width, 3))
     for li in np.nonzero(mask)[0]:
+        affine = np.asarray(lights.affine[int(li)])
+        rot_size = 0
+        if kinds[int(li)] == LIGHT_DIRECTIONAL:
+            affine, rot_size = _directional_affine(affine, height, width)
         total = total + _laser_direct_raw(
-            gbuffer, lights.affine[int(li)], lights.energy[int(li)],
-            height, width)
+            gbuffer, jnp.asarray(affine), lights.energy[int(li)],
+            height, width, rot_size=rot_size)
     return total
 
 
@@ -480,9 +540,11 @@ def _mc_scatter_sources(src_accum: tuple, lights, field_textures,
 
     inject = bounces > 0
     if exclude_analytic:
-        inject &= ~take_per_light(analytic_light_mask(lights), l_idx)
+        inject &= ~take_per_light(analytic_light_mask(lights, override_bounces),
+                                  l_idx)
     if exclude_collimated:
-        inject &= ~take_per_light(collimated_light_mask(lights), l_idx)
+        inject &= ~take_per_light(collimated_light_mask(lights, override_bounces),
+                                  l_idx)
 
     theta = jnp.arctan2(direction[:, 1], direction[:, 0])
     b = jnp.round(theta / bin_width - fields.phase).astype(jnp.int32) % d_bins
@@ -641,7 +703,7 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
     n_emitted = n_photons
 
     if analytic_direct:
-        light_mask = analytic_light_mask(lights)
+        light_mask = analytic_light_mask(lights, override_bounces)
         src_accum = _analytic_point_sources(src_accum, lights, light_mask,
                                             fields, float(width * height))
     if mc_direct:

@@ -72,6 +72,14 @@ class ForwardIntegrator:
         self._write_count = self._write_count + wc  # device-side; no sync
 
     @property
+    def raw_accumulation(self) -> jax.Array:
+        """Raw pre-HDR accumulated deposits (the reference's
+        ForwardAccumulation debug view, SimulationTexturePicker.cs:9,96-97)."""
+        if self._accum is None:
+            return jnp.zeros((self.gbuffer.height, self.gbuffer.width, 3))
+        return self._accum
+
+    @property
     def output_hdr(self) -> jax.Array:
         if self._accum is None:
             return jnp.zeros((self.gbuffer.height, self.gbuffer.width, 3))
@@ -104,6 +112,15 @@ class RBTForwardIntegrator(ForwardIntegrator):
         # sums K per-phase resolves (lazy, like the unjittered path).
         self.jitter_bins = False
         self.jitter_phases = 8
+        # Ladder memory cap (bytes). Per phase the cache holds rotated
+        # fields (trans + cum_log = 2*D*S^2, cum_coarse = D*S^2/16) plus a
+        # 3-channel source buffer (3*D*S^2), all f32 — (5 + 1/16)*D*S^2*4 B
+        # per phase: ~0.38 GB at 256^2 (S=384, D=128), ~1.06 GB at 1080p
+        # quarter-res (S=640). _effective_jitter_phases clamps the ladder so
+        # K * per_phase fits; a shorter ladder only coarsens the angular
+        # dither (K strata of the bin cone, effective resolution D*K) — it
+        # never biases the estimator.
+        self.jitter_memory_budget = 3.2e9
         self._phase_fields = {}
         self._phase_src = {}
         self._fields = None
@@ -120,6 +137,7 @@ class RBTForwardIntegrator(ForwardIntegrator):
         # field added at resolve time.
         self.exact_collimated = True
         self._exact_raw = None
+        self._static_override = None
         super().__init__(finalize_outscatter, bilinear_writes)
 
     @property
@@ -144,14 +162,26 @@ class RBTForwardIntegrator(ForwardIntegrator):
         self._mc_direct = None  # scene-derived static specializations
         self._exact_raw = None
 
+    def _effective_jitter_phases(self, gb) -> int:
+        """Phase-ladder length clamped to jitter_memory_budget bytes of
+        cached per-phase rotated fields + source buffers (see the budget
+        math at jitter_memory_budget)."""
+        import numpy as np
+
+        s = int(-(-int(np.ceil((gb.height**2 + gb.width**2) ** 0.5)) // 128) * 128)
+        per_phase = (5.0 + 1.0 / 16.0) * self.n_bins * s * s * 4.0
+        max_k = max(1, int(self.jitter_memory_budget // per_phase))
+        return min(self.jitter_phases, max_k)
+
     def integrate(self, scene, key) -> jax.Array:
         from .rbt import zero_sources
 
         gb = self.gbuffer
         if self.jitter_bins:
-            k = self.iterations_since_clear % self.jitter_phases
+            phases = self._effective_jitter_phases(gb)
+            k = self.iterations_since_clear % phases
             if k not in self._phase_fields:
-                phase = jnp.float32((k + 0.5) / self.jitter_phases)
+                phase = jnp.float32((k + 0.5) / phases)
                 self._phase_fields[k] = precompute_rotated_fields(
                     gb, n_bins=self.n_bins, phase=phase)
             self._fields = self._phase_fields[k]
@@ -163,20 +193,29 @@ class RBTForwardIntegrator(ForwardIntegrator):
             self._src = zero_sources(self._fields)
         self.iterations_since_clear += 1
         override = -1 if self.override_bounce_count is None else int(self.override_bounce_count)
-        if self._mc_direct is None:
+        if self._mc_direct is None or self._static_override != override:
             import numpy as np
 
             from .rbt import (analytic_light_mask, collimated_direct_raw,
                               collimated_light_mask)
 
-            mask = np.asarray(analytic_light_mask(scene.lights))
-            active = np.asarray(scene.lights.active)
+            self._static_override = override
+            mask = np.asarray(analytic_light_mask(scene.lights, override))
+            # Effective per-light bounce counts fold in the simulation-level
+            # override (Simulation.photon_bounces): with an override of 0 no
+            # path — MC, analytic, or exact-collimated — may deposit.
+            eff_b = np.asarray(scene.lights.bounces)
+            if override >= 0:
+                eff_b = np.full_like(eff_b, override)
+            active = np.asarray(scene.lights.active) & (eff_b != 0)
             collim = np.zeros_like(active)
             if self.exact_collimated:
                 self._exact_raw = collimated_direct_raw(
-                    gb, scene.lights, gb.height, gb.width)
+                    gb, scene.lights, gb.height, gb.width, override)
                 if self._exact_raw is not None:
-                    collim = np.asarray(collimated_light_mask(scene.lights))
+                    collim = np.asarray(collimated_light_mask(scene.lights, override))
+            else:
+                self._exact_raw = None
             not_exact = active & ~collim
             self._mc_direct = ((not self.analytic_direct) and bool(np.any(not_exact))
                                ) or bool(np.any(not_exact & ~mask))
@@ -203,7 +242,7 @@ class RBTForwardIntegrator(ForwardIntegrator):
         self._write_count = self._write_count + n  # device-side; no sync
         self._resolved = None
         if self.jitter_bins:
-            k = (self.iterations_since_clear - 1) % self.jitter_phases
+            k = (self.iterations_since_clear - 1) % self._effective_jitter_phases(gb)
             self._phase_src[k] = self._src
         # NOTE deliberately returns nothing: reading output_hdr here would
         # force the (expensive) resolve every frame; outputs resolve lazily
@@ -217,7 +256,10 @@ class RBTForwardIntegrator(ForwardIntegrator):
         return raw + self._exact_raw * jnp.float32(self.iterations_since_clear)
 
     @property
-    def output_hdr(self) -> jax.Array:
+    def raw_accumulation(self) -> jax.Array:
+        """Raw pre-HDR accumulated deposits: lazy resolve (scan +
+        rotate-back) of the per-bin sources plus the scene-static exact
+        collimated field (the ForwardAccumulation debug view)."""
         gb = self.gbuffer
         if self.jitter_bins:
             if not self._phase_src:
@@ -229,16 +271,18 @@ class RBTForwardIntegrator(ForwardIntegrator):
                                       gb.height, gb.width, traced_phase=True)
                     total = raw if total is None else total + raw
                 self._resolved = total
-            return to_hdr(self._with_exact(self._resolved),
-                          jnp.float32(self.iterations_since_clear),
-                          gb, self.finalize_outscatter)
+            return self._with_exact(self._resolved)
         if self._src is None:
             return jnp.zeros((gb.height, gb.width, 3))
         if self._resolved is None:
             self._resolved = resolve_raw(self._fields, self._src, gb.height, gb.width)
-        return to_hdr(self._with_exact(self._resolved),
+        return self._with_exact(self._resolved)
+
+    @property
+    def output_hdr(self) -> jax.Array:
+        return to_hdr(self.raw_accumulation,
                       jnp.float32(self.iterations_since_clear),
-                      gb, self.finalize_outscatter)
+                      self.gbuffer, self.finalize_outscatter)
 
 
 class BackwardIntegrator:
@@ -341,12 +385,13 @@ class HybridTracer:
     the dominant per-frame cost on TPU): the backward gather reuses the
     last resolved forward HDR for K-1 frames. The reference re-reads the
     forward texture every frame because that is free on its GPU
-    (HybridTracer.cs:17); here a slightly stale forward radiance changes
-    nothing in the limit — backward output converges to the same gather
-    integral as the forward map converges — and the refresh cadence only
-    shapes early-frame transients. Set to 1 for exact reference cadence."""
+    (HybridTracer.cs:17); a slightly stale forward radiance changes nothing
+    in the limit — backward output converges to the same gather integral as
+    the forward map converges — but it does alter early-frame transients,
+    so the DEFAULT is 1 (exact reference cadence) and performance-sensitive
+    entry points (realtime engine mode, benches) opt into K=4 explicitly."""
 
-    def __init__(self, engine: str = "rbt", forward_refresh_interval: int = 4):
+    def __init__(self, engine: str = "rbt", forward_refresh_interval: int = 1):
         self.forward = _make_forward(engine, finalize_outscatter=False)
         self.backward = BackwardIntegrator()
         self.forward_refresh_interval = max(1, forward_refresh_interval)

@@ -5,7 +5,7 @@ camera (BindSimulationToCamera.cs:6 resolutionScale = 1/4) with the denoiser
 cleaning the quarter-res lightmap and the display blit upscaling. Here the
 whole frame is ONE jitted program:
 
-  RBT trace (2M photons, 2 bounces) at 480x272
+  RBT trace at 480x272 (realtime profile; --photons/--bounce to change)
   -> resolve (scan + rotate-back)  -> HDR
   -> UNet denoise (channels-as-batch mono passes, bf16 params optional)
   -> 4x bilinear upsample to 1920x1088 -> Uchimura tonemap
@@ -13,7 +13,13 @@ whole frame is ONE jitted program:
 Prints per-stage and fused ms/frame with the tunnel-RTT methodology of
 bench.py (chained frames in one scan, single scalar fetch).
 
-Usage: python runs/bench_1080p.py [checkpoint.npz] [--bf16]
+EVERY large array — rotated fields, GBuffer, scene, model weights — is
+threaded through jit as an ARGUMENT. Closing over any of them bakes it into
+the HLO as a constant and the tunnel's remote-compile endpoint rejects the
+multi-hundred-MB payload (HTTP 413, runs/bench1080_f32.log round 1).
+
+Usage: python runs/bench_1080p.py [checkpoint.npz] [--bf16] [--photons N]
+         [--bounce N] [--bins D] [--frames N]
 """
 import sys
 import time
@@ -25,9 +31,16 @@ import numpy as np
 
 SIM_W, SIM_H = 480, 272          # quarter-res 1080p (rounded to /16)
 OUT_W, OUT_H = 1920, 1088
-PHOTONS = 2_000_000
-BOUNCE_PHOTONS = 524_288
-FRAMES = 5
+
+
+def arg(flag, default, cast=int):
+    return cast(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv else default
+
+
+PHOTONS = arg("--photons", 262_144)
+BOUNCE_PHOTONS = arg("--bounce", 65_536)
+N_BINS = arg("--bins", 128)
+FRAMES = arg("--frames", 5)
 
 
 def build():
@@ -49,7 +62,7 @@ def build():
     scene = b.build(max_lights=2, max_shapes=2)
     gb = rasterize(scene, SIM_H, SIM_W)
     brdf = jnp.asarray(luts.brdf_lut())
-    fields = rbt.precompute_rotated_fields(gb, n_bins=128)
+    fields = rbt.precompute_rotated_fields(gb, n_bins=N_BINS)
     return scene, gb, brdf, fields
 
 
@@ -63,17 +76,18 @@ def measure_rtt() -> float:
 
 def main():
     from litbox_tpu.nn.train import TrainConfig, Trainer, load_train_config
-    from litbox_tpu.nn.unet import pre_transform, post_transform, TransformConfig
+    from litbox_tpu.engine.pipeline import denoise_hdr
     from litbox_tpu.post.tonemap import UchimuraShape, tonemap_uchimura
     from litbox_tpu.sim import rbt
     from litbox_tpu.sim.oracle import to_hdr
 
-    ckpt = next((a for a in sys.argv[1:] if not a.startswith("--")), None)
+    ckpt = next((a for a in sys.argv[1:] if not a.startswith("--")
+                 and not a.lstrip("-").isdigit()), None)
     use_bf16 = "--bf16" in sys.argv
 
     scene, gb, brdf, fields = build()
     tcfg = (load_train_config(ckpt) if ckpt
-            else TrainConfig(transform=TransformConfig(normalize_input=True)))
+            else TrainConfig(transform=TransformConfig_default()))
     trainer = Trainer(tcfg)
     if ckpt:
         trainer.load(ckpt)
@@ -86,78 +100,67 @@ def main():
             variables)
     model = trainer.model
 
-    pad_h = (32 - SIM_H % 32) % 32  # UNet needs /32 (5 pool levels)
-
-    # NOTE: model variables are threaded as jit ARGUMENTS everywhere below.
-    # Closing over them bakes the weights into the HLO as constants, and the
-    # tunnel's remote-compile endpoint rejects the multi-hundred-MB payload
-    # (HTTP 413) — aside from being wasteful to re-ship per compile.
     def denoise(hdr, model_vars):
-        x = hdr.transpose(2, 0, 1)[..., None]             # (3, H, W, 1)
-        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, 0), (0, 0)), mode="reflect")
         if use_bf16:
-            x = x.astype(jnp.bfloat16)
-        xin, stats = pre_transform(x, tcfg.transform)
-        out = model.apply(model_vars, xin, train=False)
-        out = post_transform(out, stats, tcfg.transform)
-        out = out.astype(jnp.float32)[:, :SIM_H, :, 0].transpose(1, 2, 0)
-        return out
+            hdr = hdr.astype(jnp.bfloat16)
+        out = denoise_hdr(model, model_vars, hdr, tcfg.transform)
+        return out.astype(jnp.float32)
 
     def upsample(x):  # (H, W, 3) -> (OUT_H, OUT_W, 3) bilinear
         return jax.image.resize(x, (OUT_H, OUT_W, 3), "bilinear")
 
-    def stage_fns():
-        def trace(src, key):
-            src, _ = rbt.rbt_trace_frame(
-                fields, src, gb, scene.lights, scene.field_textures, brdf, key,
-                PHOTONS, jnp.int32(-1), max_bounces=2,
-                bounce_photons=BOUNCE_PHOTONS, mc_direct=True,
-                analytic_direct=False, enable_brdf=False, light_kinds=(1,),
-                hist_direct=True)
-            return src
+    # All stages take their operands as ARGUMENTS (see module docstring).
+    def trace(fields, src, gb, lights, field_textures, brdf, key):
+        src, _ = rbt.rbt_trace_frame(
+            fields, src, gb, lights, field_textures, brdf, key,
+            PHOTONS, jnp.int32(-1), max_bounces=2,
+            bounce_photons=BOUNCE_PHOTONS, mc_direct=True,
+            analytic_direct=False, enable_brdf=False, light_kinds=(1,),
+            hist_direct=True)
+        return src
 
-        def resolve(src):
-            return rbt.resolve_raw(fields, src, SIM_H, SIM_W)
+    def resolve(fields, src):
+        return rbt.resolve_raw(fields, src, SIM_H, SIM_W)
 
-        def display(raw, iters, model_vars):
-            hdr = to_hdr(raw, iters, gb, finalize_outscatter=True)
-            den = denoise(hdr, model_vars)
-            return tonemap_uchimura(upsample(den) * 0.5, UchimuraShape())
-
-        return trace, resolve, display
-
-    trace, resolve, display = stage_fns()
+    def display(raw, iters, gb, model_vars):
+        hdr = to_hdr(raw, iters, gb, finalize_outscatter=True)
+        den = denoise(hdr, model_vars)
+        return tonemap_uchimura(upsample(den) * 0.5, UchimuraShape())
 
     # per-stage timers. trace/resolve chain FRAMES times inside one jit;
     # display and the fused frame are single-call (a UNet inside lax.scan
     # produced a 20+ minute XLA compile) and timed by RTT subtraction.
     @jax.jit
-    def trace_frames(src, key):
+    def trace_frames(fields, src, gb, lights, ftex, brdf, key):
         def body(src, i):
-            return trace(src, jax.random.fold_in(key, i)), 0.0
+            return trace(fields, src, gb, lights, ftex, brdf,
+                         jax.random.fold_in(key, i)), 0.0
         src, _ = jax.lax.scan(body, src, jnp.arange(FRAMES))
         return src[0][0, 0, 0]
 
     @jax.jit
-    def resolve_frames(src):
+    def resolve_frames(fields, src):
         def body(c, i):
-            return c + resolve(src)[0, 0, 0], 0.0
+            return c + resolve(fields, src)[0, 0, 0], 0.0
         c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(FRAMES))
         return c
 
     @jax.jit
-    def display_once(raw, model_vars):
-        return display(raw, jnp.float32(1.0), model_vars)[0, 0, 0]
+    def display_once(raw, gb, model_vars):
+        return display(raw, jnp.float32(1.0), gb, model_vars)[0, 0, 0]
 
     @jax.jit
-    def fused_once(src, key, model_vars):
-        src = trace(src, key)
-        return display(resolve(src), jnp.float32(1.0), model_vars)[0, 0, 0]
+    def fused_once(fields, src, gb, lights, ftex, brdf, key, model_vars):
+        src = trace(fields, src, gb, lights, ftex, brdf, key)
+        raw = resolve(fields, src)
+        return display(raw, jnp.float32(1.0), gb, model_vars)[0, 0, 0]
 
     rtt = measure_rtt()
-    print(f"rtt {rtt*1000:.1f} ms")
+    print(f"rtt {rtt*1000:.1f} ms  photons {PHOTONS} + {BOUNCE_PHOTONS} bounce, "
+          f"bins {N_BINS}, bf16={use_bf16}", flush=True)
     src0 = rbt.zero_sources(fields)
     key = jax.random.key(0)
+    lights, ftex = scene.lights, scene.field_textures
 
     def time_fn(name, fn, *args, per_frame=FRAMES):
         float(fn(*args))
@@ -171,15 +174,23 @@ def main():
         print(f"{name}: {dt*1000:7.2f} ms/frame", flush=True)
         return dt
 
-    t_trace = time_fn("trace  ", trace_frames, src0, key)
-    src1 = jax.jit(trace)(src0, key)
-    t_resolve = time_fn("resolve", resolve_frames, src1)
-    raw1 = jax.jit(resolve)(src1)
-    t_display = time_fn("display", display_once, raw1, variables, per_frame=1)
-    t_fused = time_fn("FUSED  ", fused_once, src0, key, variables, per_frame=1)
+    t_trace = time_fn("trace  ", trace_frames, fields, src0, gb, lights, ftex,
+                      brdf, key)
+    src1 = jax.jit(trace)(fields, src0, gb, lights, ftex, brdf, key)
+    t_resolve = time_fn("resolve", resolve_frames, fields, src1)
+    raw1 = jax.jit(resolve)(fields, src1)
+    t_display = time_fn("display", display_once, raw1, gb, variables, per_frame=1)
+    t_fused = time_fn("FUSED  ", fused_once, fields, src0, gb, lights, ftex,
+                      brdf, key, variables, per_frame=1)
     fps = 1.0 / t_fused
     print(f"1080p fused: {t_fused*1000:.2f} ms/frame = {fps:.1f} FPS "
           f"(target 60; stages {t_trace*1e3:.1f}+{t_resolve*1e3:.1f}+{t_display*1e3:.1f})")
+
+
+def TransformConfig_default():
+    from litbox_tpu.nn.unet import TransformConfig
+
+    return TransformConfig(normalize_input=True)
 
 
 if __name__ == "__main__":

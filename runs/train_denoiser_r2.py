@@ -70,6 +70,16 @@ def stage(name: str, profile: int, use_ids: list, crop: int) -> DenoiserDataset:
         crop_size=crop, scales=[scene_scale(i) for i in use_ids])
 
 
+def stage_rt(name: str, tier: int, use_ids: list, crop: int) -> DenoiserDataset:
+    return DenoiserDataset(
+        [os.path.join(dataset_dir, f"InputRT{tier}_Radiance_A_{i}.exr") for i in use_ids],
+        [os.path.join(dataset_dir, f"InputRT{tier}_Radiance_B_{i}.exr") for i in use_ids],
+        [os.path.join(dataset_dir, f"Albedo_{i}.png") for i in use_ids],
+        [os.path.join(dataset_dir, f"Transmissibility_{i}.exr") for i in use_ids],
+        [os.path.join(dataset_dir, f"Output_Reference_{i}.exr") for i in use_ids],
+        crop_size=crop, scales=[scene_scale(i) for i in use_ids])
+
+
 SMOKE = "--smoke" in sys.argv
 if SMOKE:  # tiny wiring check on CPU
     import jax
@@ -81,6 +91,14 @@ CROP = 64 if SMOKE else 192
 stages = [("Easy", stage("Easy", 2, train_ids, CROP)),
           ("Medium", stage("Medium", 1, train_ids, CROP)),
           ("Final", stage("Final", 0, train_ids, CROP))]
+# Realtime tiers (1 frame, single phase — runs/gen_realtime_inputs.py): the
+# PRODUCTION noise regime (VERDICT round 1 item 2). Trained alongside the
+# accumulated tiers so the model covers both.
+have_rt = bool(glob.glob(os.path.join(dataset_dir, "InputRT0_Radiance_A_*.exr")))
+if have_rt:
+    stages += [("RT1", stage_rt("RT1", 1, train_ids, CROP)),
+               ("RT0", stage_rt("RT0", 0, train_ids, CROP))]
+print("stages:", [s[0] for s in stages], flush=True)
 
 import os as _os
 
@@ -103,18 +121,22 @@ if "--resume" in sys.argv:
     print("resumed", flush=True)
 
 
-def heldout_gain(max_scenes: int = 6) -> tuple[float, float]:
-    """Mean PSNR of noisy Input1 vs reference, and of denoised vs reference,
-    on center crops of held-out scenes (exposure-normalized space)."""
+def heldout_gain(max_scenes: int = 6, prefix: str | None = None) -> tuple[float, float]:
+    """Mean PSNR of a noisy held-out input vs reference, and of denoised vs
+    reference (exposure-normalized space). The selection metric uses the
+    REALTIME tier (InputRT1) when it exists — the production regime — and
+    falls back to the accumulated Input1."""
     from litbox_tpu.nn.infer import infer_large
 
+    if prefix is None:
+        prefix = "InputRT1" if have_rt else "Input1"
     fn = trainer.eval_fn()
     base, den = [], []
     for i in held_ids[:max_scenes]:
         s = scene_scale(i)
         from litbox_tpu.io.images import read_image_linear
 
-        noisy = read_image_linear(os.path.join(dataset_dir, f"Input1_Radiance_A_{i}.exr")) * s
+        noisy = read_image_linear(os.path.join(dataset_dir, f"{prefix}_Radiance_A_{i}.exr")) * s
         ref = read_image_linear(os.path.join(dataset_dir, f"Output_Reference_{i}.exr")) * s
         out = infer_large(fn, noisy)
         peak = max(float(ref.max()), 1e-6)
@@ -128,6 +150,7 @@ t0 = time.time()
 rng = np.random.default_rng(0)
 step = 0
 last_eval = 0.0
+best_gain = -1e9
 budget = minutes * 60
 
 # time-sliced curriculum: 30% Easy, 30% Medium, 40% Final.
@@ -141,7 +164,14 @@ def active_stage() -> tuple:
     if MIX:
         return stages[int(rng.integers(0, len(stages)))]
     f = (time.time() - t0) / budget
-    return stages[0] if f < 0.3 else stages[1] if f < 0.6 else stages[2]
+    if len(stages) == 3:
+        return stages[0] if f < 0.3 else stages[1] if f < 0.6 else stages[2]
+    # With realtime tiers: Easy/Medium warmup, then Final + RT emphasis.
+    cuts = (0.15, 0.30, 0.55, 0.75)
+    for idx, c in enumerate(cuts):
+        if f < c:
+            return stages[idx]
+    return stages[4]
 
 
 while time.time() - t0 < budget:
@@ -156,17 +186,29 @@ while time.time() - t0 < budget:
             print(f"{time.time()-t0:7.1f}s step {step} [{name}] loss {loss:.5f}", flush=True)
         if time.time() - t0 > budget:
             break
-    if time.time() - t0 - last_eval > 1800:
+    if time.time() - t0 - last_eval > 1500:
         last_eval = time.time() - t0
         # Periodic saves skip the optimizer state: fetching the full 3.8 GB
         # trainer state through the ~13 MB/s tunnel costs ~5 minutes; the
         # 1.3 GB params+stats take ~100 s. Final save keeps the optimizer.
-        trainer.save("/root/repo/runs/denoiser_r2/model.npz", include_optimizer=False)
         b, d = heldout_gain(3)
         print(f"CHECKPOINT {last_eval:.0f}s heldout base {b:.2f} dB denoised {d:.2f} dB "
               f"gain {d-b:+.2f} dB", flush=True)
+        # Model selection ON the held-out metric (VERDICT round 1 weak #3:
+        # a +0.56 dB checkpoint existed and a -0.85 dB final shipped). The
+        # BEST checkpoint is what ships as model_best.npz.
+        if d - b > best_gain:
+            best_gain = d - b
+            trainer.save("/root/repo/runs/denoiser_r2/model_best.npz",
+                         include_optimizer=False)
+            print(f"BEST so far {best_gain:+.2f} dB -> model_best.npz", flush=True)
+        trainer.save("/root/repo/runs/denoiser_r2/model.npz", include_optimizer=False)
 
 trainer.save("/root/repo/runs/denoiser_r2/model.npz", include_optimizer=True)
 trainer.save("/root/repo/runs/denoiser_r2/model_final.npz", include_optimizer=False)
 b, d = heldout_gain(len(held_ids))
 print(f"FINAL steps {step} heldout base {b:.2f} dB denoised {d:.2f} dB gain {d-b:+.2f} dB", flush=True)
+if d - b > best_gain:
+    best_gain = d - b
+    trainer.save("/root/repo/runs/denoiser_r2/model_best.npz", include_optimizer=False)
+print(f"BEST heldout gain {best_gain:+.2f} dB (model_best.npz)", flush=True)

@@ -159,3 +159,15 @@ def test_hybrid_forward_refresh_amortization(monkeypatch):
     # frames 0 and 4 resolve; 6 frames reuse the cache
     assert calls["n"] == 2, calls["n"]
     assert t.tracer_output.shape == (W, W, 3)
+
+
+def test_backward_bin_ladder_coprime_any_n():
+    """The bin ladder must visit EVERY bin for any n_bins — including ones
+    sharing factors with both the base stride and its old +2 fallback
+    (329 = 7 * 47: gcd(47,329)=47 and gcd(49,329)=7 would each visit only a
+    subset and bias the gather to a direction-fan subset)."""
+    from litbox_tpu.sim.backward import backward_bin_for_frame
+
+    for n in (64, 128, 141, 329, 47 * 49):
+        visited = {backward_bin_for_frame(f, n) for f in range(n)}
+        assert len(visited) == n, (n, len(visited))

@@ -113,3 +113,119 @@ def test_sharded_rbt_matches_single_device_statistically(rbt_setup):
     raw_s = np.asarray(rbt.resolve_raw(fields, src_s, W, W))
     a, b = raw_m.sum(), raw_s.sum()
     assert abs(a / b - 1) < 0.05, (a, b)
+
+
+def test_sharded_rbt_device_count_scaling(rbt_setup):
+    """The same per-device photon budget on 1/2/4/8-device meshes yields
+    statistically identical lightmaps (energy normalization is per-estimate,
+    so widening the mesh only averages more independent estimates)."""
+    from litbox_tpu.parallel import (
+        sharded_rbt_resolve, sharded_rbt_trace_frame, zero_sources_sharded)
+
+    scene, gb, brdf, fields = rbt_setup
+    sums = {}
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(n, ensemble=1)
+        src = zero_sources_sharded(mesh, fields)
+        src, emitted = sharded_rbt_trace_frame(
+            mesh, fields, src, gb, scene.lights, scene.field_textures, brdf,
+            jax.random.fold_in(jax.random.key(9), n), 8192, jnp.int32(1),
+            max_bounces=1, mc_direct=True, analytic_direct=False)
+        raw = np.asarray(sharded_rbt_resolve(mesh, fields, src, W, W))[0]
+        assert np.all(np.isfinite(raw))
+        assert int(emitted[0]) == n * 8192
+        sums[n] = float(raw.sum())
+    base = sums[1]
+    for n, s in sums.items():
+        assert abs(s / base - 1) < 0.05, sums
+
+
+def test_sharded_rbt_resolve_linearity(rbt_setup):
+    """pmean-of-per-device-resolves == resolve-of-mean-sources — the
+    linearity invariant the sharded design rests on (rbt_sharded.py:14-19),
+    checked against a host-side reference. Tolerance is set by the bf16
+    tent-matmul inside rotate_back (ops/resample.py): averaging before vs
+    after the resolve routes different magnitudes through bf16 rounding,
+    so agreement is to ~2^-8 relative, not bitwise."""
+    from litbox_tpu.parallel import (
+        sharded_rbt_resolve, sharded_rbt_trace_frame, zero_sources_sharded)
+    from litbox_tpu.sim import rbt
+
+    scene, gb, brdf, fields = rbt_setup
+    mesh = make_mesh(8, ensemble=2)
+    src = zero_sources_sharded(mesh, fields)
+    src, _ = sharded_rbt_trace_frame(
+        mesh, fields, src, gb, scene.lights, scene.field_textures, brdf,
+        jax.random.key(11), 2048, jnp.int32(1),
+        max_bounces=1, mc_direct=True, analytic_direct=False)
+    raw_sharded = np.asarray(sharded_rbt_resolve(mesh, fields, src, W, W))
+
+    src_host = np.asarray(src)          # (E, Dd, 3, D, S, S)
+    for e in range(2):
+        mean_src = tuple(jnp.asarray(src_host[e].mean(0)[c]) for c in range(3))
+        raw_ref = np.asarray(rbt.resolve_raw(fields, mean_src, W, W))
+        np.testing.assert_allclose(raw_sharded[e], raw_ref, rtol=1e-2,
+                                   atol=1e-5)
+
+
+def test_sharded_rbt_collective_traffic_is_lightmap_only(rbt_setup):
+    """The compiled resolve moves ONLY (H, W, 3) lightmaps across devices —
+    never the (3, D, S, S) source buffers. A wall-clock scaling curve on the
+    virtual CPU mesh cannot see accidental resharding (one host executes all
+    devices serially); the HLO collective shapes can."""
+    import re
+
+    from litbox_tpu.parallel import (
+        sharded_rbt_resolve, sharded_rbt_trace_frame, zero_sources_sharded)
+
+    scene, gb, brdf, fields = rbt_setup
+    mesh = make_mesh(8, ensemble=2)
+    src = zero_sources_sharded(mesh, fields)
+
+    lightmap_elems = 2 * W * W * 3  # full ensemble of lightmaps
+    for fn, args in (
+        (sharded_rbt_resolve, (mesh, fields, src, W, W)),
+        (sharded_rbt_trace_frame,
+         (mesh, fields, src, gb, scene.lights, scene.field_textures, brdf,
+          jax.random.key(0), 1024, jnp.int32(1))),
+    ):
+        text = fn.lower(*args).compile().as_text()
+        for line in text.splitlines():
+            m = re.search(r"\b(all-reduce|all-gather|all-to-all"
+                          r"|collective-permute)\b", line)
+            if not m or line.strip().startswith("//"):
+                continue
+            for shape in re.findall(r"[a-z0-9]+\[([0-9,]*)\]", line):
+                elems = int(np.prod([int(d) for d in shape.split(",") if d]
+                                    or [1]))
+                assert elems <= lightmap_elems, (m.group(1), line[:160])
+
+
+@pytest.mark.slow
+def test_sharded_rbt_realistic_shape():
+    """Realistic-shape smoke under the virtual 8-device mesh: 256^2 scene,
+    128 bins, 65536 photons/device — the production configuration of the
+    dryrun at full field sizes (SURVEY.md section 7 step 8)."""
+    from litbox_tpu.parallel import (
+        sharded_rbt_resolve, sharded_rbt_trace_frame, zero_sources_sharded)
+    from litbox_tpu.sim import rbt
+
+    w = 256
+    b = SceneBuilder()
+    b.add_point_light((w / 2, w / 2), radius=2.0, intensity=1.5, bounces=2)
+    b.add_rect((w / 2, w / 2), (w, w), log_density=-1.2)
+    scene = b.build(max_lights=1, max_shapes=1)
+    gb = rasterize(scene, w, w)
+    brdf = jnp.asarray(luts.brdf_lut((16, 5, 3)))
+    fields = rbt.precompute_rotated_fields(gb, n_bins=128)
+
+    mesh = make_mesh(8, ensemble=2)
+    src = zero_sources_sharded(mesh, fields)
+    src, n = sharded_rbt_trace_frame(
+        mesh, fields, src, gb, scene.lights, scene.field_textures, brdf,
+        jax.random.key(1), 65536, jnp.int32(-1), max_bounces=2,
+        mc_direct=True, analytic_direct=False)
+    raw = np.asarray(sharded_rbt_resolve(mesh, fields, src, w, w))
+    assert raw.shape == (2, w, w, 3)
+    assert np.all(np.isfinite(raw)) and raw.sum() > 0
+    assert int(n[0]) == 4 * 65536

@@ -276,3 +276,153 @@ def test_exact_collimated_energy_on_empty_field():
     assert float(jnp.abs(exact).sum()) > 0.0  # beam energy is in flight
     hdr = np.asarray(to_hdr(exact, jnp.float32(1.0), gb))
     assert float(np.abs(hdr).max()) < 1e-4
+
+
+def test_exact_collimated_directional_matches_mc():
+    """Directional lights are collimated too (ForwardMonteCarlo.compute:282-
+    294): the exact wave-0 field (one-bin rotated scan on an enlarged field
+    containing the out-of-frame entry segment) must agree with converged MC
+    direct deposits when the direction coincides with a bin angle."""
+    w = 48
+    b = SceneBuilder()
+    # rotation pi/2 -> direction (+1, 0): exactly bin 0 of the fan.
+    b.add_directional_light(rotation=np.pi / 2, color=(1.0, 0.7, 0.4),
+                            intensity=1.1, bounces=1)
+    b.add_rect((w / 2, w / 2), (w, w), color=(1, 1, 1, 1), log_density=-1.3)
+    scene = b.build()
+    gb = rasterize(scene, w, w)
+    brdf = jnp.asarray(luts.brdf_lut((16, 5, 3)))
+    fields = rbt.precompute_rotated_fields(gb, n_bins=64)
+
+    exact = np.asarray(rbt.collimated_direct_raw(gb, scene.lights, w, w))
+    assert np.isfinite(exact).all() and exact.sum() > 0
+
+    frames, rays = 40, 16384
+    src = rbt.zero_sources(fields)
+    for f in range(frames):
+        src, _ = rbt.rbt_trace_frame(
+            fields, src, gb, scene.lights, scene.field_textures, brdf,
+            jax.random.key(f), rays, jnp.int32(-1), max_bounces=1,
+            analytic_direct=False, mc_direct=True, exact_collimated=False)
+    mc = np.asarray(rbt.resolve_raw(fields, src, w, w)) / frames
+
+    # Total deposited energy inside the frame agrees.
+    assert abs(exact.sum() / mc.sum() - 1.0) < 0.07, (exact.sum(), mc.sum())
+    # Pointwise agreement away from the entry column (MC origins carry
+    # one-texel discretization at the boundary).
+    sel = np.zeros((w, w), bool)
+    sel[4:-4, 4:-4] = True
+    rel = np.abs(exact[sel] - mc[sel]) / (mc[sel] + 1e-4)
+    assert np.median(rel) < 0.15, float(np.median(rel))
+
+
+def test_directional_exact_closed_form():
+    """A +x directional light through a uniform slab: per-column deposits
+    decay as t_texel^x, and mid-frame rows are uniform in y (no D-bin fan —
+    the artifact the exact-direction path exists to kill)."""
+    w = 48
+    density_log = -1.3
+    b = SceneBuilder()
+    b.add_directional_light(rotation=np.pi / 2, intensity=1.0, bounces=1)
+    b.add_rect((w / 2, w / 2), (w, w), color=(1, 1, 1, 1), log_density=density_log)
+    scene = b.build()
+    gb = rasterize(scene, w, w)
+    exact = np.asarray(rbt.collimated_direct_raw(gb, scene.lights, w, w))
+    lum = exact.mean(-1)
+
+    t_texel = (1 - 10**density_log) ** (100 / w)
+    cols = lum[w // 4: -w // 4, :].mean(0)
+    ratio = cols[12:36][1:] / cols[12:36][:-1]
+    assert np.allclose(ratio, t_texel, atol=0.02), (ratio.mean(), t_texel)
+    # No fan: every interior row carries the same profile.
+    rows = lum[8:-8, 12:36]
+    spread = rows.std(0) / rows.mean(0)
+    assert float(spread.max()) < 0.03, float(spread.max())
+
+
+def test_collimated_mask_respects_override():
+    """collimated/analytic masks fold in Simulation.photon_bounces: with an
+    override of 0 nothing may deposit (ADVICE round 1, tracers.py:176)."""
+    w = 32
+    b = SceneBuilder()
+    b.add_laser_light((8, w / 2), (4, 1), rotation=np.pi / 2, intensity=1.0,
+                      bounces=2)
+    b.add_point_light((w / 2, w / 2), radius=1.0, intensity=1.0, bounces=2)
+    scene = b.build()
+    assert np.asarray(rbt.collimated_light_mask(scene.lights)).any()
+    assert not np.asarray(rbt.collimated_light_mask(scene.lights, 0)).any()
+    assert np.asarray(rbt.collimated_light_mask(scene.lights, 3)).any()
+    assert np.asarray(rbt.analytic_light_mask(scene.lights)).any()
+    assert not np.asarray(rbt.analytic_light_mask(scene.lights, 0)).any()
+    gb = rasterize(scene, w, w)
+    assert rbt.collimated_direct_raw(gb, scene.lights, w, w, 0) is None
+
+
+def test_rbt_integrator_exact_collimated_wiring():
+    """Integration-level check of the exact-collimated path through
+    RBTForwardIntegrator (ADVICE round 1 item 5): accumulated output_hdr
+    with exact_collimated=True matches the exact_collimated=False converged
+    result, and override_bounce_count=0 suppresses ALL output."""
+    from litbox_tpu.sim.tracers import RBTForwardIntegrator
+
+    w = 48
+
+    def make_scene():
+        b = SceneBuilder()
+        b.add_laser_light((8, w / 2), (6, 1), rotation=np.pi / 2,
+                          color=(1.0, 0.8, 0.5), intensity=1.2, bounces=1)
+        b.add_rect((w / 2, w / 2), (w, w), color=(1, 1, 1, 1), log_density=-1.3)
+        return b.build()
+
+    scene = make_scene()
+    gb = rasterize(scene, w, w)
+
+    def run(exact, frames, rays, override=None):
+        t = RBTForwardIntegrator(n_bins=64)
+        t.gbuffer = gb
+        t.rays_to_emit = rays
+        t.max_bounces = 1
+        t.analytic_direct = False
+        t.exact_collimated = exact
+        t.override_bounce_count = override
+        for f in range(frames):
+            t.integrate(scene, jax.random.key(f))
+        return np.asarray(t.output_hdr)
+
+    hdr_exact = run(True, frames=2, rays=256)
+    hdr_mc = run(False, frames=40, rays=16384)
+    assert hdr_exact.sum() > 0
+    sel = hdr_mc.sum(-1) > np.percentile(hdr_mc.sum(-1), 97)
+    rel = np.abs(hdr_exact[sel] - hdr_mc[sel]) / (hdr_mc[sel] + 1e-5)
+    assert np.median(rel) < 0.2, float(np.median(rel))
+
+    # Simulation-level bounce override of 0 suppresses the exact field too.
+    assert float(np.abs(run(True, frames=2, rays=256, override=0)).max()) == 0.0
+
+
+def test_jitter_ladder_memory_budget_clamps():
+    """The phase-ladder length respects jitter_memory_budget; a tiny budget
+    degrades to a shorter ladder (never below 1), a huge one keeps K."""
+    from litbox_tpu.sim.tracers import RBTForwardIntegrator
+
+    w = 64
+    b = SceneBuilder()
+    b.add_point_light((w / 2, w / 2), radius=1.0, intensity=1.0, bounces=1)
+    scene = b.build()
+    gb = rasterize(scene, w, w)
+
+    t = RBTForwardIntegrator(n_bins=32)
+    t.gbuffer = gb
+    t.jitter_bins = True
+    assert t._effective_jitter_phases(gb) == t.jitter_phases
+    t.jitter_memory_budget = 2 * (5.0 + 1 / 16) * 32 * 128 * 128 * 4.0
+    assert t._effective_jitter_phases(gb) == 2
+    t.jitter_memory_budget = 1.0
+    assert t._effective_jitter_phases(gb) == 1
+    # And the ladder actually runs at the clamped length.
+    t.jitter_memory_budget = 2 * (5.0 + 1 / 16) * 32 * 128 * 128 * 4.0
+    t.rays_to_emit = 512
+    t.max_bounces = 1
+    for f in range(4):
+        t.integrate(scene, jax.random.key(f))
+    assert set(t._phase_src) == {0, 1}

@@ -117,3 +117,20 @@ def test_infer_large_covers_image():
     assert np.all(np.isfinite(out))
     # Every interior pixel covered (nonzero counts -> averaged output).
     assert np.abs(out[10:-10, 10:-10]).sum() > 0
+
+
+def test_infer_large_subtile_input():
+    """Inputs smaller than one tile are reflect-padded and denoised instead
+    of silently returning zeros (ADVICE round 1, nn/infer.py:48)."""
+    cfg = TrainConfig(unet_size=2, initial_features=4, crop_size=32)
+    run = Trainer(cfg).eval_fn()
+    img = np.random.default_rng(2).uniform(0.2, 1, (20, 26, 3)).astype(np.float32)
+    out = infer_large(run, img, tile=32, overlap=8)
+    assert out.shape == img.shape
+    assert np.all(np.isfinite(out))
+    assert np.abs(out).sum() > 0  # not the old all-zero failure mode
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        infer_large(run, img[:1], tile=32, overlap=8)
