@@ -24,73 +24,138 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROW_BLOCK = 8
 
+# Static coefficient bounds of the Paeth decomposition: the quadrant
+# pre-rotation leaves residual angles in [-45, 45] degrees, so
+# |alpha| = |tan(res/2)| <= tan(22.5deg), |beta| = |sin(res)| <= sin(45deg).
+# These bound the integer-shift span inside an 8-row block and hence the
+# number of statically shifted copies each row selects among — the previous
+# conservative bound of 1.0 cost 10 roll iterations per x-shear where the
+# true residual range needs 6.
+ALPHA_BOUND = 0.41422  # tan(pi/8) + eps
+BETA_BOUND = 0.70712   # sin(pi/4) + eps
+
+
+def _shear_math(coef, row0, row_div, elem_scale, n_texels, center, width,
+                k_max, block):
+    """Shared shear arithmetic: returns the sheared (ROW_BLOCK, width) f32
+    block for rows [row0, row0+ROW_BLOCK) of an image whose per-row shift is
+    coef * (row//row_div + 0.5 - center) texels along the lane axis."""
+    lane_texel = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, width), 1) // elem_scale
+    ss = []
+    for r in range(ROW_BLOCK):
+        rt = ((row0 + r) // row_div).astype(jnp.float32)
+        ss.append(coef * (rt + 0.5 - center))
+    s_vec = jnp.stack(ss).reshape(ROW_BLOCK, 1)
+    i_vec = jnp.floor(s_vec).astype(jnp.int32)
+    f_vec = s_vec - i_vec.astype(jnp.float32)
+    base = jnp.minimum(i_vec[0, 0], i_vec[ROW_BLOCK - 1, 0])
+    res = i_vec - base  # (8, 1) in [0, k_max)
+
+    # Shifts must be non-negative: Mosaic's dynamic rotate mishandles
+    # negative shifts on multi-vreg rows (observed off-by-128 lanes).
+    rolled = pltpu.roll(block, (-base * elem_scale) % width, axis=1)
+
+    acc = jnp.zeros((ROW_BLOCK, width), jnp.float32)
+    src_texel = lane_texel + i_vec  # (8, W) sampled texel for v0
+    valid0 = (src_texel >= 0) & (src_texel < n_texels)
+    valid1 = (src_texel + 1 >= 0) & (src_texel + 1 < n_texels)
+    for k in range(k_max + 1):
+        shifted = pltpu.roll(rolled, (-k * elem_scale) % width, axis=1)
+        w0 = jnp.where((res == k) & valid0, 1.0 - f_vec * jnp.ones((1, width)), 0.0)
+        w1 = jnp.where((res == k - 1) & valid1, f_vec * jnp.ones((1, width)), 0.0)
+        acc = acc + shifted.astype(jnp.float32) * (w0 + w1)
+    return acc
+
+
+def _super_rows(rows: int) -> int:
+    """Rows per grid step: the largest power-of-two multiple of ROW_BLOCK
+    dividing `rows`, capped at 128. Per-(8, W) blocks cost one grid step per
+    1.9 k elements (~10k steps at S=640/D=128) and the per-step overhead
+    dominated the kernel; super-blocks amortize it ~16x while keeping the
+    8-row shear span (k_max) unchanged."""
+    sup = ROW_BLOCK
+    while sup < 128 and rows % (sup * 2) == 0:
+        sup *= 2
+    return sup
+
 
 def _shear_kernel_factory(row_div: int, elem_scale: int, n_texels: int,
-                          center: float, width: int, k_max: int):
+                          center: float, width: int, k_max: int, n_sub: int):
     def kernel(coef_ref, img_ref, out_ref):
-        lane_texel = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, width), 1) // elem_scale
+        # Per-row shifts; within an 8-row sub-block they span at most k_max
+        # texels, so each sub-block is rolled ONCE by the common base and
+        # each row selects among k_max statically shifted copies — all
+        # (8, W) vector ops (per-row (1, W) rolls waste 7/8 of the
+        # sublanes). n_sub sub-blocks are processed per grid step.
         d = pl.program_id(0)
-        rblk = pl.program_id(1)
+        jsup = pl.program_id(1)
         coef = coef_ref[d]
-
-        # Per-row shifts; within a block they span at most k_max texels, so
-        # the block is rolled ONCE by the common base and each row selects
-        # among k_max statically shifted copies — all (8, W) vector ops
-        # (per-row (1, W) rolls waste 7/8 of the sublanes).
-        row0 = rblk * ROW_BLOCK
-        ss = []
-        for r in range(ROW_BLOCK):
-            rt = ((row0 + r) // row_div).astype(jnp.float32)
-            ss.append(coef * (rt + 0.5 - center))
-        s_vec = jnp.stack(ss).reshape(ROW_BLOCK, 1)
-        i_vec = jnp.floor(s_vec).astype(jnp.int32)
-        f_vec = s_vec - i_vec.astype(jnp.float32)
-        base = jnp.minimum(i_vec[0, 0], i_vec[ROW_BLOCK - 1, 0])
-        res = i_vec - base  # (8, 1) in [0, k_max)
-
-        block = img_ref[0]
-        # Shifts must be non-negative: Mosaic's dynamic rotate mishandles
-        # negative shifts on multi-vreg rows (observed off-by-128 lanes).
-        rolled = pltpu.roll(block, (-base * elem_scale) % width, axis=1)
-
-        acc = jnp.zeros((ROW_BLOCK, width), jnp.float32)
-        src_texel = lane_texel + i_vec  # (8, W) sampled texel for v0
-        valid0 = (src_texel >= 0) & (src_texel < n_texels)
-        valid1 = (src_texel + 1 >= 0) & (src_texel + 1 < n_texels)
-        for k in range(k_max + 1):
-            shifted = pltpu.roll(rolled, (-k * elem_scale) % width, axis=1)
-            w0 = jnp.where((res == k) & valid0, 1.0 - f_vec * jnp.ones((1, width)), 0.0)
-            w1 = jnp.where((res == k - 1) & valid1, f_vec * jnp.ones((1, width)), 0.0)
-            acc = acc + shifted.astype(jnp.float32) * (w0 + w1)
-        out_ref[0] = acc.astype(out_ref.dtype)
+        for sub in range(n_sub):
+            row0 = (jsup * n_sub + sub) * ROW_BLOCK
+            acc = _shear_math(coef, row0, row_div, elem_scale, n_texels,
+                              center, width, k_max,
+                              img_ref[0, sub * ROW_BLOCK:(sub + 1) * ROW_BLOCK])
+            out_ref[0, sub * ROW_BLOCK:(sub + 1) * ROW_BLOCK] = acc.astype(out_ref.dtype)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("row_div", "elem_scale", "n_texels"))
+def _shear_reduce_kernel_factory(row_div: int, elem_scale: int, n_texels: int,
+                                 center: float, width: int, k_max: int,
+                                 row_off: int, n_sub: int):
+    def kernel(coef_ref, img_ref, out_ref):
+        # Grid is (row_superblocks, D) with D innermost: the output block
+        # stays VMEM-resident while every bin accumulates into it, so the
+        # summed image is written to HBM ONCE instead of one full (D, R, W)
+        # write plus a full re-read by a separate reduction.
+        j = pl.program_id(0)
+        d = pl.program_id(1)
+        coef = coef_ref[d]
+        for sub in range(n_sub):
+            lo = sub * ROW_BLOCK
+            acc = _shear_math(coef, row_off + j * n_sub * ROW_BLOCK + lo,
+                              row_div, elem_scale, n_texels, center, width,
+                              k_max, img_ref[0, lo:lo + ROW_BLOCK])
+
+            @pl.when(d == 0)
+            def _():
+                out_ref[lo:lo + ROW_BLOCK] = acc.astype(out_ref.dtype)
+
+            @pl.when(d > 0)
+            def _():
+                out_ref[lo:lo + ROW_BLOCK] = (out_ref[lo:lo + ROW_BLOCK]
+                                              + acc.astype(out_ref.dtype))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("row_div", "elem_scale",
+                                             "n_texels", "coef_bound"))
 def shear(img: jax.Array, coef: jax.Array, row_div: int, elem_scale: int,
-          n_texels: int) -> jax.Array:
+          n_texels: int, coef_bound: float = 1.0) -> jax.Array:
     """out[d, r, l] = img[d, r, l + round-interp(coef[d] * (r//row_div + .5 - c))].
 
     img (D, R, W); the shift axis is the lane axis in units of `elem_scale`
     lanes per texel (3 for channel-interleaved x shears, 1 otherwise).
+    coef_bound is a STATIC bound on max |coef| — it sets the number of
+    shifted copies in the kernel's inner loop.
     """
     d, rows, width = img.shape
     assert rows % ROW_BLOCK == 0, rows
     pad = (-width) % 128  # tpu.dynamic_rotate requires 128-aligned lanes
     if pad:
         img = jnp.pad(img, ((0, 0), (0, 0), (0, pad)))
-    # Residual span of integer shifts within an 8-row block: |coef| <= 1
-    # always holds for the rotation decomposition (tan(22.5deg), sin(45deg)).
-    k_max = int(np.ceil(ROW_BLOCK * 1.0 / row_div)) + 1
+    k_max = int(np.ceil(ROW_BLOCK * coef_bound / row_div)) + 1
+    sup = _super_rows(rows)
     kernel = _shear_kernel_factory(row_div, elem_scale, n_texels,
-                                   n_texels / 2.0, width + pad, k_max)
+                                   n_texels / 2.0, width + pad, k_max,
+                                   sup // ROW_BLOCK)
     wp = width + pad
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(d, rows // ROW_BLOCK),
-        in_specs=[pl.BlockSpec((1, ROW_BLOCK, wp), lambda i, j, c: (i, j, 0))],
-        out_specs=pl.BlockSpec((1, ROW_BLOCK, wp), lambda i, j, c: (i, j, 0)),
+        grid=(d, rows // sup),
+        in_specs=[pl.BlockSpec((1, sup, wp), lambda i, j, c: (i, j, 0))],
+        out_specs=pl.BlockSpec((1, sup, wp), lambda i, j, c: (i, j, 0)),
     )
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
@@ -100,9 +165,83 @@ def shear(img: jax.Array, coef: jax.Array, row_div: int, elem_scale: int,
     return out[..., :width] if pad else out
 
 
-def rotate_bins(images: jax.Array, angles: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("row_div", "elem_scale",
+                                             "n_texels", "coef_bound",
+                                             "row_lo", "row_hi"))
+def shear_reduce(img: jax.Array, coef: jax.Array, row_div: int,
+                 elem_scale: int, n_texels: int, coef_bound: float,
+                 row_lo: int, row_hi: int) -> jax.Array:
+    """Final-pass shear: apply each image's shear to rows [row_lo, row_hi)
+    only and SUM over the batch (bin) axis in-kernel. Returns
+    (row_hi - row_lo, W). row_lo/row_hi must be ROW_BLOCK-aligned."""
+    d, rows, width = img.shape
+    assert row_lo % ROW_BLOCK == 0 and row_hi % ROW_BLOCK == 0
+    assert 0 <= row_lo < row_hi <= rows
+    pad = (-width) % 128
+    if pad:
+        img = jnp.pad(img, ((0, 0), (0, 0), (0, pad)))
+    k_max = int(np.ceil(ROW_BLOCK * coef_bound / row_div)) + 1
+    wp = width + pad
+    # Super-block size must divide both the range and the start offset.
+    sup = ROW_BLOCK
+    while (sup < 128 and (row_hi - row_lo) % (sup * 2) == 0
+           and row_lo % (sup * 2) == 0):
+        sup *= 2
+    kernel = _shear_reduce_kernel_factory(row_div, elem_scale, n_texels,
+                                          n_texels / 2.0, wp, k_max, row_lo,
+                                          sup // ROW_BLOCK)
+    nblk = (row_hi - row_lo) // sup
+    lo_blk = row_lo // sup
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk, d),
+        in_specs=[pl.BlockSpec((1, sup, wp),
+                               lambda j, i, c: (i, j + lo_blk, 0))],
+        out_specs=pl.BlockSpec((sup, wp), lambda j, i, c: (j, 0)),
+    )
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((row_hi - row_lo, wp), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(coef, img)
+    return out[..., :width] if pad else out
+
+
+def _shear_pipeline(pre: jax.Array, alpha: jax.Array, beta: jax.Array,
+                    d: int, s: int, c: int,
+                    reduce_rows: tuple[int, int] | None):
+    """Three-shear pipeline over pre-quadrant-rotated images.
+
+    reduce_rows=(row_lo, row_hi) fuses the final x-shear with the sum over
+    the bin axis and restricts it to output rows [row_lo, row_hi) — the
+    rotate-back display path only needs the central H rows, and summing
+    in-kernel saves a full (D, S, S, C) HBM round-trip.
+    """
+    flat = pre.reshape(d, s, s * c)
+    flat = shear(flat, alpha, row_div=1, elem_scale=c, n_texels=s,
+                 coef_bound=ALPHA_BOUND)
+    # Vertical shear: transpose so y is the lane axis.
+    t = flat.reshape(d, s, s, c).transpose(0, 2, 3, 1).reshape(d, s * c, s)
+    t = shear(t, beta, row_div=c, elem_scale=1, n_texels=s,
+              coef_bound=BETA_BOUND)
+    flat = t.reshape(d, s, c, s).transpose(0, 3, 1, 2).reshape(d, s, s * c)
+    if reduce_rows is not None:
+        lo, hi = reduce_rows
+        out = shear_reduce(flat, alpha, row_div=1, elem_scale=c, n_texels=s,
+                           coef_bound=ALPHA_BOUND, row_lo=lo, row_hi=hi)
+        return out.reshape(hi - lo, s, c)
+    flat = shear(flat, alpha, row_div=1, elem_scale=c, n_texels=s,
+                 coef_bound=ALPHA_BOUND)
+    return flat.reshape(d, s, s, c)
+
+
+def rotate_bins(images: jax.Array, angles: jax.Array,
+                reduce_rows: tuple[int, int] | None = None) -> jax.Array:
     """Rotate each (S, S, C) image in (D, S, S, C) by its own angle:
-    out[d][p] = images[d][R(angles[d]) (p - c) + c], zero outside."""
+    out[d][p] = images[d][R(angles[d]) (p - c) + c], zero outside.
+
+    With reduce_rows=(lo, hi): returns sum_d out[d][lo:hi] as (hi-lo, S, C)
+    (the fused rotate-and-accumulate display path)."""
     d, s, s2, c = images.shape
     assert s == s2 and s % ROW_BLOCK == 0
 
@@ -120,18 +259,11 @@ def rotate_bins(images: jax.Array, angles: jax.Array) -> jax.Array:
 
     alpha = -jnp.tan(residual / 2.0)
     beta = jnp.sin(residual)
-
-    flat = pre.reshape(d, s, s * c)
-    flat = shear(flat, alpha, row_div=1, elem_scale=c, n_texels=s)
-    # Vertical shear: transpose so y is the lane axis.
-    t = flat.reshape(d, s, s, c).transpose(0, 2, 3, 1).reshape(d, s * c, s)
-    t = shear(t, beta, row_div=c, elem_scale=1, n_texels=s)
-    flat = t.reshape(d, s, c, s).transpose(0, 3, 1, 2).reshape(d, s, s * c)
-    flat = shear(flat, alpha, row_div=1, elem_scale=c, n_texels=s)
-    return flat.reshape(d, s, s, c)
+    return _shear_pipeline(pre, alpha, beta, d, s, c, reduce_rows)
 
 
-def rotate_bins_uniform(images: jax.Array, angles: tuple) -> jax.Array:
+def rotate_bins_uniform(images: jax.Array, angles: tuple,
+                        reduce_rows: tuple[int, int] | None = None) -> jax.Array:
     """rotate_bins with STATIC per-image angles: the quadrant pre-rotation
     becomes static group slices + rot90 (the traced-angle version stacks 4
     full copies and gathers — ~x4 memory traffic)."""
@@ -153,11 +285,4 @@ def rotate_bins_uniform(images: jax.Array, angles: tuple) -> jax.Array:
 
     alpha = jnp.asarray([-np.tan(t / 2.0) for t in residual], jnp.float32)
     beta = jnp.asarray([np.sin(t) for t in residual], jnp.float32)
-
-    flat = pre.reshape(d, s, s * c)
-    flat = shear(flat, alpha, row_div=1, elem_scale=c, n_texels=s)
-    t = flat.reshape(d, s, s, c).transpose(0, 2, 3, 1).reshape(d, s * c, s)
-    t = shear(t, beta, row_div=c, elem_scale=1, n_texels=s)
-    flat = t.reshape(d, s, c, s).transpose(0, 3, 1, 2).reshape(d, s, s * c)
-    flat = shear(flat, alpha, row_div=1, elem_scale=c, n_texels=s)
-    return flat.reshape(d, s, s, c)
+    return _shear_pipeline(pre, alpha, beta, d, s, c, reduce_rows)

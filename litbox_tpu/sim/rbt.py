@@ -775,17 +775,24 @@ def rotate_back(fields: RotatedFields, deposited: jax.Array,
 
         s = fields.size
         d = fields.n_bins
+        oy = (s - height) // 2
+        ox = (s - width) // 2
+        # Fused final shear: sum over bins in-kernel and emit only the
+        # central row range — saves the full (D, S, S, 3) rotated-output HBM
+        # round-trip plus the separate reduction. 64-aligned so the kernel
+        # can use full 128-row super-blocks (ops/rotate._super_rows).
+        lo = (oy // 64) * 64
+        hi = min(-(-(oy + height) // 64) * 64, s)
         # The matmul path samples with R(-theta_d); rotate_bins' convention
         # is R(+a), so a = -theta_d (validated against the matmul path).
         if traced_phase:
             angles = -(jnp.arange(d, dtype=jnp.float32) + fields.phase) * (2.0 * np.pi / d)
-            rotated = rotate_bins(deposited, angles)
+            rotated = rotate_bins(deposited, angles, reduce_rows=(lo, hi))
         else:
             angles = [-i * 2.0 * np.pi / d for i in range(d)]
-            rotated = rotate_bins_uniform(deposited, tuple(angles))
-        oy = (s - height) // 2
-        ox = (s - width) // 2
-        return rotated.sum(0)[oy:oy + height, ox:ox + width]
+            rotated = rotate_bins_uniform(deposited, tuple(angles),
+                                          reduce_rows=(lo, hi))
+        return rotated[oy - lo:oy - lo + height, ox:ox + width]
     ys, xs = jnp.mgrid[0:height, 0:width]
     p = jnp.stack([xs + 0.5, ys + 0.5], -1).reshape(-1, 2).astype(jnp.float32)
     rel = p - fields.center

@@ -69,3 +69,25 @@ def test_inject_sorted_matches_scatter():
     for c in range(3):
         np.testing.assert_allclose(np.asarray(out[c]).reshape(-1), expected[c],
                                    rtol=2e-2, atol=2e-3)
+
+
+def test_rotate_bins_reduce_rows_matches_full():
+    """The fused final shear (in-kernel sum over bins + row crop) must equal
+    rotating every bin fully, summing, and cropping — for both the static
+    and the traced-angle paths."""
+    s = 64
+    d = 5
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.uniform(0, 1, (d, s, s, 3)).astype(np.float32))
+    angles = [-i * 2 * np.pi / d + 0.1 for i in range(d)]
+    lo, hi = 16, 48
+
+    full = np.asarray(rotate_bins_uniform(imgs, tuple(angles))).sum(0)[lo:hi]
+    fused = np.asarray(rotate_bins_uniform(imgs, tuple(angles),
+                                           reduce_rows=(lo, hi)))
+    np.testing.assert_allclose(fused, full, rtol=1e-5, atol=1e-5)
+
+    full_t = np.asarray(rotate_bins(imgs, jnp.asarray(angles))).sum(0)[lo:hi]
+    fused_t = np.asarray(rotate_bins(imgs, jnp.asarray(angles),
+                                     reduce_rows=(lo, hi)))
+    np.testing.assert_allclose(fused_t, full_t, rtol=1e-5, atol=1e-5)
