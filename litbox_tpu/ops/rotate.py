@@ -102,29 +102,32 @@ def _shear_kernel_factory(row_div: int, elem_scale: int, n_texels: int,
 
 def _shear_reduce_kernel_factory(row_div: int, elem_scale: int, n_texels: int,
                                  center: float, width: int, k_max: int,
-                                 row_off: int, n_sub: int):
+                                 row_off: int, n_sub: int, n_per: int):
     def kernel(coef_ref, img_ref, out_ref):
-        # Grid is (row_superblocks, D) with D innermost: the output block
-        # stays VMEM-resident while every bin accumulates into it, so the
-        # summed image is written to HBM ONCE instead of one full (D, R, W)
-        # write plus a full re-read by a separate reduction.
+        # Grid is (row_superblocks, N) with N innermost: the output block
+        # stays VMEM-resident while every bin of a group accumulates into
+        # it, so each summed image is written to HBM ONCE instead of one
+        # full (N, R, W) write plus a full re-read by a separate reduction.
+        # With n_per < N the batch is G = N/n_per groups (planar channels)
+        # and the output block advances per group.
         j = pl.program_id(0)
         d = pl.program_id(1)
         coef = coef_ref[d]
+        first = d % n_per == 0
         for sub in range(n_sub):
             lo = sub * ROW_BLOCK
             acc = _shear_math(coef, row_off + j * n_sub * ROW_BLOCK + lo,
                               row_div, elem_scale, n_texels, center, width,
                               k_max, img_ref[0, lo:lo + ROW_BLOCK])
 
-            @pl.when(d == 0)
+            @pl.when(first)
             def _():
-                out_ref[lo:lo + ROW_BLOCK] = acc.astype(out_ref.dtype)
+                out_ref[0, lo:lo + ROW_BLOCK] = acc.astype(out_ref.dtype)
 
-            @pl.when(d > 0)
+            @pl.when(jnp.logical_not(first))
             def _():
-                out_ref[lo:lo + ROW_BLOCK] = (out_ref[lo:lo + ROW_BLOCK]
-                                              + acc.astype(out_ref.dtype))
+                out_ref[0, lo:lo + ROW_BLOCK] = (out_ref[0, lo:lo + ROW_BLOCK]
+                                                 + acc.astype(out_ref.dtype))
 
     return kernel
 
@@ -167,16 +170,20 @@ def shear(img: jax.Array, coef: jax.Array, row_div: int, elem_scale: int,
 
 @functools.partial(jax.jit, static_argnames=("row_div", "elem_scale",
                                              "n_texels", "coef_bound",
-                                             "row_lo", "row_hi"))
+                                             "row_lo", "row_hi", "groups"))
 def shear_reduce(img: jax.Array, coef: jax.Array, row_div: int,
                  elem_scale: int, n_texels: int, coef_bound: float,
-                 row_lo: int, row_hi: int) -> jax.Array:
+                 row_lo: int, row_hi: int, groups: int = 1) -> jax.Array:
     """Final-pass shear: apply each image's shear to rows [row_lo, row_hi)
     only and SUM over the batch (bin) axis in-kernel. Returns
-    (row_hi - row_lo, W). row_lo/row_hi must be ROW_BLOCK-aligned."""
+    (groups, row_hi - row_lo, W) summed per contiguous group of N/groups
+    images (groups=3 is the planar-channel display path), or
+    (row_hi - row_lo, W) for groups=1. row_lo/row_hi must be
+    ROW_BLOCK-aligned."""
     d, rows, width = img.shape
     assert row_lo % ROW_BLOCK == 0 and row_hi % ROW_BLOCK == 0
-    assert 0 <= row_lo < row_hi <= rows
+    assert 0 <= row_lo < row_hi <= rows and d % groups == 0
+    n_per = d // groups
     pad = (-width) % 128
     if pad:
         img = jnp.pad(img, ((0, 0), (0, 0), (0, pad)))
@@ -189,7 +196,7 @@ def shear_reduce(img: jax.Array, coef: jax.Array, row_div: int,
         sup *= 2
     kernel = _shear_reduce_kernel_factory(row_div, elem_scale, n_texels,
                                           n_texels / 2.0, wp, k_max, row_lo,
-                                          sup // ROW_BLOCK)
+                                          sup // ROW_BLOCK, n_per)
     nblk = (row_hi - row_lo) // sup
     lo_blk = row_lo // sup
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -197,14 +204,17 @@ def shear_reduce(img: jax.Array, coef: jax.Array, row_div: int,
         grid=(nblk, d),
         in_specs=[pl.BlockSpec((1, sup, wp),
                                lambda j, i, c: (i, j + lo_blk, 0))],
-        out_specs=pl.BlockSpec((sup, wp), lambda j, i, c: (j, 0)),
+        out_specs=pl.BlockSpec((1, sup, wp),
+                               lambda j, i, c: (i // n_per, j, 0)),
     )
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((row_hi - row_lo, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((groups, row_hi - row_lo, wp),
+                                       jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(coef, img)
-    return out[..., :width] if pad else out
+    out = out[..., :width] if pad else out
+    return out if groups > 1 else out[0]
 
 
 def _shear_pipeline(pre: jax.Array, alpha: jax.Array, beta: jax.Array,
@@ -286,3 +296,62 @@ def rotate_bins_uniform(images: jax.Array, angles: tuple,
     alpha = jnp.asarray([-np.tan(t / 2.0) for t in residual], jnp.float32)
     beta = jnp.asarray([np.sin(t) for t in residual], jnp.float32)
     return _shear_pipeline(pre, alpha, beta, d, s, c, reduce_rows)
+
+
+def _quadrant_groups(angles) -> list:
+    """Contiguous runs of equal quadrant index k = round(a / 90deg) % 4.
+    RBT bin angles are monotonic, so runs stay contiguous and concatenation
+    preserves bin order."""
+    ks = [int(round(a / (np.pi / 2))) % 4 for a in angles]
+    groups, start = [], 0
+    for i in range(1, len(angles) + 1):
+        if i == len(angles) or ks[i] != ks[start]:
+            groups.append((start, i, ks[start]))
+            start = i
+    return groups
+
+
+def rotate_planar_sum(channels: tuple, base_angles: tuple, delta,
+                      max_delta: float, row_lo: int, row_hi: int) -> jax.Array:
+    """Planar-channel rotate-and-accumulate: the RBT display resolve path.
+
+    channels: C arrays of (D, S, S), one per color plane (the Pallas
+    attenuation scan's native outputs — no channel-interleave pass needed).
+    Image d of every channel rotates by base_angles[d] + delta, all results
+    sum over d per channel, restricted to output rows [row_lo, row_hi).
+    Returns (C, row_hi - row_lo, S).
+
+    base_angles are STATIC: the quadrant pre-rotation is resolved at trace
+    time to contiguous rot90 slices (2D-minor transposes — the channel-last
+    rot90 of rotate_bins measured 11.7 ms of a 33 ms rotate at S=640/D=128,
+    runs/prof_rotate.py). The traced scalar `delta` (|delta| <= max_delta,
+    e.g. the per-frame jitter phase * 2pi/D) folds into the shear residuals,
+    whose static coefficient bounds widen by max_delta — so a jittered fan
+    costs the same as the static one instead of the 4-copy gather
+    pre-rotation of rotate_bins."""
+    c = len(channels)
+    d, s, s2 = channels[0].shape
+    assert s == s2 and len(base_angles) == d
+    groups = _quadrant_groups(base_angles)
+    base_res = np.asarray(
+        [a - round(a / (np.pi / 2)) * (np.pi / 2) for a in base_angles],
+        np.float32)
+    residual = jnp.asarray(base_res) + jnp.asarray(delta, jnp.float32)
+    a_bound = float(np.tan((np.pi / 4 + max_delta) / 2.0)) + 1e-4
+    b_bound = float(np.sin(min(np.pi / 4 + max_delta, np.pi / 2))) + 1e-4
+
+    pre = jnp.concatenate([
+        jnp.rot90(ch[a:b], k, axes=(1, 2)) if k else ch[a:b]
+        for ch in channels for a, b, k in groups], axis=0)  # (C*D, S, S)
+
+    alpha = jnp.tile(-jnp.tan(residual / 2.0), c)
+    beta = jnp.tile(jnp.sin(residual), c)
+    flat = shear(pre, alpha, row_div=1, elem_scale=1, n_texels=s,
+                 coef_bound=a_bound)
+    t = flat.transpose(0, 2, 1)
+    t = shear(t, beta, row_div=1, elem_scale=1, n_texels=s,
+              coef_bound=b_bound)
+    flat = t.transpose(0, 2, 1)
+    return shear_reduce(flat, alpha, row_div=1, elem_scale=1, n_texels=s,
+                        coef_bound=a_bound, row_lo=row_lo, row_hi=row_hi,
+                        groups=c)

@@ -735,7 +735,16 @@ def attenuation_scan(fields: RotatedFields, src_accum: tuple) -> jax.Array:
     Numerically stable by construction (t <= 1, no exponentials of
     cumulative depth), unlike the naive exp(C)*cumsum(exp(-C)*src) form.
     Returns deposits stacked channel-last (D, S, S, 3).
+
+    On TPU the recurrence runs as a single-pass Pallas kernel
+    (ops/attnscan.py): XLA's associative_scan costs ~2*log2(S) HBM passes
+    over the (D, S, S) state (~25 ms at S=640/D=128), the kernel one.
     """
+    if jax.default_backend() == "tpu" and fields.size % 128 == 0:
+        from ..ops.attnscan import attenuation_scan_rows
+
+        dep = attenuation_scan_rows(fields.trans, *src_accum)
+        return jnp.stack(dep, axis=-1)
     t = fields.trans
     sqrt_t = jnp.sqrt(t)
 
@@ -813,6 +822,27 @@ def rotate_back(fields: RotatedFields, deposited: jax.Array,
 def resolve_raw(fields: RotatedFields, src_accum: jax.Array,
                 height: int, width: int, traced_phase: bool = False) -> jax.Array:
     """Scan + rotate-back in one jitted call -> raw (H, W, 3) deposit map
-    (the analog of the oracle's accumulated `raw`; feed to oracle.to_hdr)."""
+    (the analog of the oracle's accumulated `raw`; feed to oracle.to_hdr).
+
+    TPU fast path: single-pass Pallas scan (ops/attnscan.py) feeding the
+    planar rotate-and-sum (ops/rotate.rotate_planar_sum) — channel-planar
+    end to end, static quadrant pre-rotation even for the traced jitter
+    phase (delta folds into the shear residual bounds)."""
+    s, d = fields.size, fields.n_bins
+    if jax.default_backend() == "tpu" and s % 128 == 0 and d >= 16:
+        from ..ops.attnscan import attenuation_scan_rows
+        from ..ops.rotate import rotate_planar_sum
+
+        dep = attenuation_scan_rows(fields.trans, *src_accum)
+        oy = (s - height) // 2
+        ox = (s - width) // 2
+        lo = (oy // 64) * 64
+        hi = min(-(-(oy + height) // 64) * 64, s)
+        base = tuple(-i * 2.0 * np.pi / d for i in range(d))
+        max_delta = 2.0 * np.pi / d
+        delta = (-fields.phase * max_delta) if traced_phase else 0.0
+        out = rotate_planar_sum(dep, base, delta, max_delta, lo, hi)
+        out = out[:, oy - lo:oy - lo + height, ox:ox + width]
+        return jnp.moveaxis(out, 0, -1)
     deposited = attenuation_scan(fields, src_accum)
     return rotate_back(fields, deposited, height, width, traced_phase=traced_phase)

@@ -7,7 +7,8 @@ import pytest
 
 from litbox_tpu.ops.inject import inject_sorted
 from litbox_tpu.ops.resample import gather_bilinear_mxu
-from litbox_tpu.ops.rotate import rotate_bins, rotate_bins_uniform
+from litbox_tpu.ops.rotate import (rotate_bins, rotate_bins_uniform,
+                                   rotate_planar_sum)
 
 
 def _rotate_ref(im, theta, s):
@@ -91,3 +92,45 @@ def test_rotate_bins_reduce_rows_matches_full():
     fused_t = np.asarray(rotate_bins(imgs, jnp.asarray(angles),
                                      reduce_rows=(lo, hi)))
     np.testing.assert_allclose(fused_t, full_t, rtol=1e-5, atol=1e-5)
+
+
+def test_rotate_planar_sum_matches_interleaved_static():
+    """delta=0: the planar channel-major pipeline must match the
+    channel-interleaved static path bit-for-bit (same shear lattices)."""
+    s, d = 64, 6
+    rng = np.random.default_rng(4)
+    imgs = jnp.asarray(rng.uniform(0, 1, (d, s, s, 3)).astype(np.float32))
+    base = tuple(-i * 2 * np.pi / d for i in range(d))
+    lo, hi = 8, 56
+    full = np.asarray(rotate_bins_uniform(imgs, base)).sum(0)[lo:hi]
+    chans = tuple(imgs[..., c] for c in range(3))
+    planar = np.moveaxis(np.asarray(
+        rotate_planar_sum(chans, base, 0.0, 2 * np.pi / d, lo, hi)), 0, -1)
+    np.testing.assert_allclose(planar, full, rtol=1e-5, atol=1e-5)
+
+
+def test_rotate_planar_sum_traced_delta_matches_dense():
+    """Traced delta (the jitter phase): static-quadrant decomposition with
+    widened residual bounds must match the dense per-bin gather rotation.
+    (Comparison vs the interleaved traced path is only lattice-equal when
+    quadrant choices coincide, so the dense gather is the oracle here.)"""
+    s, d = 64, 6
+    rng = np.random.default_rng(5)
+    img = np.zeros((d, s, s, 3), np.float32)
+    img[:, 12:52, 14:50] = rng.uniform(0.5, 1.5, (d, 40, 36, 3))
+    for _ in range(4):  # smooth: bilinear-lattice differences stay tiny
+        img = (np.roll(img, 1, 1) + np.roll(img, -1, 1)
+               + np.roll(img, 1, 2) + np.roll(img, -1, 2) + img) / 5
+    imgs = jnp.asarray(img)
+    base = tuple(-i * 2 * np.pi / d for i in range(d))
+    delta = -0.3 * 2 * np.pi / d
+    lo, hi = 8, 56
+    ref = np.zeros((s, s, 3), np.float32)
+    for i, a in enumerate(base):
+        ref += np.asarray(_rotate_ref(imgs[i], a + delta, s))
+    ref = ref[lo:hi]
+    chans = tuple(imgs[..., c] for c in range(3))
+    planar = np.moveaxis(np.asarray(
+        rotate_planar_sum(chans, base, delta, 2 * np.pi / d, lo, hi)), 0, -1)
+    assert abs(planar.sum() / ref.sum() - 1) < 0.02
+    assert np.abs(planar - ref).mean() < 0.02
