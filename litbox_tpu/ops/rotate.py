@@ -298,6 +298,167 @@ def rotate_bins_uniform(images: jax.Array, angles: tuple,
     return _shear_pipeline(pre, alpha, beta, d, s, c, reduce_rows)
 
 
+def _shear_block_dyn(coef, row0, block, s: int, center: float):
+    """Sheared (ROW_BLOCK, s) block with a DYNAMIC tap count.
+
+    out[r, l] = lerp(block[r, l + i_r], block[r, l + i_r + 1], f_r) with
+    s_r = coef * (row0 + r + 0.5 - center), i_r = floor(s_r), f_r = frac;
+    zero where the source texel falls outside [0, s).
+
+    Two optimizations over _shear_math (the static-bound kernel):
+      * the shifted-copy loop runs to the block's ACTUAL shift span + 2
+        (a traced fori_loop bound) instead of the static worst case — the
+        average bin's |coef| is half the bound, so the average block needs
+        ~3 iterations where the static loop always pays 6-9;
+      * per-iteration work is one roll + two (row-broadcast) multiply-adds
+        into separate accumulators per tap; boundary validity is applied
+        ONCE per block after the loop instead of twice per iteration.
+    """
+    rvec = row0 + jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, 1), 0)
+    svec = coef * (rvec.astype(jnp.float32) + 0.5 - center)
+    ivec = jnp.floor(svec).astype(jnp.int32)
+    fvec = svec - ivec.astype(jnp.float32)
+    base = jnp.min(ivec)
+    res = ivec - base
+    rolled = pltpu.roll(block, (-base) % s, axis=1)
+
+    def body(k, accs):
+        acc0, acc1 = accs
+        shifted = pltpu.roll(rolled, (-k) % s, axis=1)
+        a0 = jnp.where(res == k, 1.0 - fvec, 0.0)
+        a1 = jnp.where(res == k - 1, fvec, 0.0)
+        return acc0 + shifted * a0, acc1 + shifted * a1
+
+    zero = jnp.zeros((ROW_BLOCK, s), jnp.float32)
+    acc0, acc1 = jax.lax.fori_loop(jnp.int32(0), jnp.max(res) + 2, body,
+                                   (zero, zero))
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, s), 1)
+    src0 = lanes + ivec
+    valid0 = (src0 >= 0) & (src0 < s)
+    valid1 = (src0 >= -1) & (src0 < s - 1)
+    return jnp.where(valid0, acc0, 0.0) + jnp.where(valid1, acc1, 0.0)
+
+
+def _rot3sum_kernel_factory(s: int, run_starts: tuple, nblk: int):
+    """Whole-image fused 3-shear rotation + in-kernel sum over a bin run.
+
+    Per grid step (one bin): x-shear the VMEM-resident (S, S) image into
+    scratch, transpose, y-shear, transpose back, final x-shear accumulated
+    into the run's output block. The separate-pass pipeline pays 3
+    compute-bound kernel round-trips plus 2 HBM transposes; here the image
+    never leaves VMEM between shears.
+    """
+    center = s / 2.0
+
+    def kernel(alpha_ref, beta_ref, img_ref, out_ref, t1, t2):
+        d = pl.program_id(0)
+        a = alpha_ref[d]
+        b = beta_ref[d]
+        first = d == run_starts[0]
+        for st in run_starts[1:]:
+            first = jnp.logical_or(first, d == st)
+
+        def pass1(i, _):
+            ro = pl.multiple_of(i * ROW_BLOCK, ROW_BLOCK)
+            t1[pl.ds(ro, ROW_BLOCK), :] = _shear_block_dyn(
+                a, ro, img_ref[0, pl.ds(ro, ROW_BLOCK), :], s, center)
+            return 0
+
+        jax.lax.fori_loop(0, nblk, pass1, 0)
+        t2[:] = jnp.swapaxes(t1[:], 0, 1)
+
+        def pass2(i, _):
+            ro = pl.multiple_of(i * ROW_BLOCK, ROW_BLOCK)
+            t1[pl.ds(ro, ROW_BLOCK), :] = _shear_block_dyn(
+                b, ro, t2[pl.ds(ro, ROW_BLOCK), :], s, center)
+            return 0
+
+        jax.lax.fori_loop(0, nblk, pass2, 0)
+        t2[:] = jnp.swapaxes(t1[:], 0, 1)
+
+        def pass3(i, _):
+            ro = pl.multiple_of(i * ROW_BLOCK, ROW_BLOCK)
+            v = _shear_block_dyn(a, ro, t2[pl.ds(ro, ROW_BLOCK), :], s, center)
+
+            @pl.when(first)
+            def _():
+                out_ref[0, pl.ds(ro, ROW_BLOCK), :] = v
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                out_ref[0, pl.ds(ro, ROW_BLOCK), :] = (
+                    out_ref[0, pl.ds(ro, ROW_BLOCK), :] + v)
+
+            return 0
+
+        jax.lax.fori_loop(0, nblk, pass3, 0)
+
+    return kernel
+
+
+# VMEM budget of the fused kernel: img block (x2 pipeline) + 2 scratch
+# planes + out block (x2) = ~7 plane buffers of S*S*4 bytes.
+FUSED_VMEM_LIMIT = 14 * 1024 * 1024
+
+
+def rotate_planar_sum_fused(channels: tuple, base_angles: tuple,
+                            delta) -> jax.Array:
+    """Fused planar rotate-and-accumulate: sum_d R(base_angles[d] + delta)
+    applied to image d of each channel plane; returns (C, S, S).
+
+    The kernel computes per-quadrant-run partial sums WITHOUT the rot90
+    pre-rotation of rotate_planar_sum; the epilogue applies rot90 to the
+    R <= 5 run partials instead (rotations about a common center commute,
+    so R(res) then rot90 equals rot90 then R(res) up to bilinear
+    interpolation order — validated against the dense rotation reference
+    in tests/test_pallas_ops.py).
+
+    No static coefficient bound exists (tap counts are dynamic), so any
+    traced `delta` works with zero extra cost.
+    """
+    c = len(channels)
+    d, s, s2 = channels[0].shape
+    assert s == s2 and s % ROW_BLOCK == 0 and s % 128 == 0
+    assert len(base_angles) == d
+    groups = _quadrant_groups(base_angles)
+    base_res = np.asarray(
+        [a - round(a / (np.pi / 2)) * (np.pi / 2) for a in base_angles],
+        np.float32)
+    residual = jnp.asarray(base_res) + jnp.asarray(delta, jnp.float32)
+    alpha = -jnp.tan(residual / 2.0)
+    beta = jnp.sin(residual)
+    run_starts = tuple(g[0] for g in groups)
+
+    def out_index(i, a_, b_):
+        r = jnp.int32(0)
+        for st in run_starts[1:]:
+            r = r + (i >= st).astype(jnp.int32)
+        return (r, 0, 0)
+
+    kernel = _rot3sum_kernel_factory(s, run_starts, s // ROW_BLOCK)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(d,),
+        in_specs=[pl.BlockSpec((1, s, s), lambda i, a_, b_: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, s, s), out_index),
+        scratch_shapes=[pltpu.VMEM((s, s), jnp.float32),
+                        pltpu.VMEM((s, s), jnp.float32)],
+    )
+    outs = []
+    for ch in channels:
+        parts = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((len(groups), s, s), jnp.float32),
+            interpret=jax.default_backend() != "tpu",
+        )(alpha, beta, ch)
+        total = jnp.zeros((s, s), jnp.float32)
+        for ri, (_, _, k) in enumerate(groups):
+            part = parts[ri]
+            total = total + (jnp.rot90(part, k, axes=(0, 1)) if k else part)
+        outs.append(total)
+    return jnp.stack(outs, 0)
+
+
 def _quadrant_groups(angles) -> list:
     """Contiguous runs of equal quadrant index k = round(a / 90deg) % 4.
     RBT bin angles are monotonic, so runs stay contiguous and concatenation

@@ -831,16 +831,24 @@ def resolve_raw(fields: RotatedFields, src_accum: jax.Array,
     s, d = fields.size, fields.n_bins
     if jax.default_backend() == "tpu" and s % 128 == 0 and d >= 16:
         from ..ops.attnscan import attenuation_scan_rows
-        from ..ops.rotate import rotate_planar_sum
+        from ..ops.rotate import (FUSED_VMEM_LIMIT, rotate_planar_sum,
+                                  rotate_planar_sum_fused)
 
         dep = attenuation_scan_rows(fields.trans, *src_accum)
         oy = (s - height) // 2
         ox = (s - width) // 2
-        lo = (oy // 64) * 64
-        hi = min(-(-(oy + height) // 64) * 64, s)
         base = tuple(-i * 2.0 * np.pi / d for i in range(d))
         max_delta = 2.0 * np.pi / d
         delta = (-fields.phase * max_delta) if traced_phase else 0.0
+        if 7 * s * s * 4 <= FUSED_VMEM_LIMIT:
+            # Whole-image fused kernel: image stays VMEM-resident across
+            # all three shears (runs/prof_resolve2.py: the separate-pass
+            # pipeline spent 26 of 34 ms inside compute-bound shear calls).
+            out = rotate_planar_sum_fused(dep, base, delta)
+            out = out[:, oy:oy + height, ox:ox + width]
+            return jnp.moveaxis(out, 0, -1)
+        lo = (oy // 64) * 64
+        hi = min(-(-(oy + height) // 64) * 64, s)
         out = rotate_planar_sum(dep, base, delta, max_delta, lo, hi)
         out = out[:, oy - lo:oy - lo + height, ox:ox + width]
         return jnp.moveaxis(out, 0, -1)

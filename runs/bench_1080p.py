@@ -140,8 +140,12 @@ def main():
 
     @jax.jit
     def resolve_frames(fields, src):
+        # The 1-element carry-add forces a fresh resolve per iteration
+        # (a loop-invariant src lets XLA hoist the whole resolve and the
+        # stage reads amortized — round 1's "13.7 ms" artifact).
         def body(c, i):
-            return c + resolve(fields, src)[0, 0, 0], 0.0
+            srci = tuple(ch.at[0, 0, 0].add(c * 1e-30) for ch in src)
+            return c + resolve(fields, srci)[0, 0, 0], 0.0
         c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(FRAMES))
         return c
 

@@ -8,7 +8,7 @@ import pytest
 from litbox_tpu.ops.inject import inject_sorted
 from litbox_tpu.ops.resample import gather_bilinear_mxu
 from litbox_tpu.ops.rotate import (rotate_bins, rotate_bins_uniform,
-                                   rotate_planar_sum)
+                                   rotate_planar_sum, rotate_planar_sum_fused)
 
 
 def _rotate_ref(im, theta, s):
@@ -107,6 +107,53 @@ def test_rotate_planar_sum_matches_interleaved_static():
     planar = np.moveaxis(np.asarray(
         rotate_planar_sum(chans, base, 0.0, 2 * np.pi / d, lo, hi)), 0, -1)
     np.testing.assert_allclose(planar, full, rtol=1e-5, atol=1e-5)
+
+
+def test_rotate_planar_sum_fused_matches_dense():
+    """Whole-image fused kernel (epilogue rot90 on run partials) vs the
+    dense per-bin gather rotation. The fused path's shear order relative
+    to the quadrant rot90 differs from rotate_planar_sum (rotations about
+    the common center commute geometrically, not texel-exactly), so the
+    dense gather is the oracle; mass must be preserved exactly."""
+    s, d = 128, 8
+    rng = np.random.default_rng(6)
+    img = np.zeros((d, s, s, 3), np.float32)
+    img[:, 24:104, 28:100] = rng.uniform(0.5, 1.5, (d, 80, 72, 3))
+    for _ in range(4):
+        img = (np.roll(img, 1, 1) + np.roll(img, -1, 1)
+               + np.roll(img, 1, 2) + np.roll(img, -1, 2) + img) / 5
+    imgs = jnp.asarray(img)
+    base = tuple(-i * 2 * np.pi / d for i in range(d))
+    chans = tuple(imgs[..., c] for c in range(3))
+    for delta in (0.0, -0.3 * 2 * np.pi / d):
+        ref = np.zeros((s, s, 3), np.float32)
+        for i, a in enumerate(base):
+            ref += np.asarray(_rotate_ref(imgs[i], a + delta, s))
+        fused = np.moveaxis(np.asarray(
+            rotate_planar_sum_fused(chans, base, delta)), 0, -1)
+        assert abs(fused.sum() / ref.sum() - 1) < 0.02
+        assert np.abs(fused - ref).mean() < 0.02, delta
+
+
+def test_rotate_planar_sum_fused_matches_pipeline():
+    """Fused vs the separate-pass planar pipeline on the same inputs: both
+    discretize the same rotation; interpolation-order differences stay
+    small on smooth fields and total mass agrees tightly."""
+    s, d = 128, 8
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 1, (d, s, s, 3)).astype(np.float32)
+    for _ in range(4):
+        img = (np.roll(img, 1, 1) + np.roll(img, -1, 1)
+               + np.roll(img, 1, 2) + np.roll(img, -1, 2) + img) / 5
+    imgs = jnp.asarray(img)
+    base = tuple(-i * 2 * np.pi / d for i in range(d))
+    chans = tuple(imgs[..., c] for c in range(3))
+    lo, hi = 16, 112
+    pipe = np.asarray(rotate_planar_sum(chans, base, 0.0, 2 * np.pi / d,
+                                        lo, hi))
+    fused = np.asarray(rotate_planar_sum_fused(chans, base, 0.0))[:, lo:hi]
+    assert abs(fused.sum() / pipe.sum() - 1) < 1e-3
+    assert np.abs(fused - pipe).mean() < 0.02
 
 
 def test_rotate_planar_sum_traced_delta_matches_dense():
