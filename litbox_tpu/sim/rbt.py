@@ -818,26 +818,41 @@ def rotate_back(fields: RotatedFields, deposited: jax.Array,
     return per_bin.sum(0).reshape(height, width, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "traced_phase"))
+@functools.partial(jax.jit, static_argnames=("height", "width", "traced_phase",
+                                              "group", "n_groups"))
 def resolve_raw(fields: RotatedFields, src_accum: jax.Array,
-                height: int, width: int, traced_phase: bool = False) -> jax.Array:
+                height: int, width: int, traced_phase: bool = False,
+                group: int = 0, n_groups: int = 1) -> jax.Array:
     """Scan + rotate-back in one jitted call -> raw (H, W, 3) deposit map
     (the analog of the oracle's accumulated `raw`; feed to oracle.to_hdr).
 
     TPU fast path: single-pass Pallas scan (ops/attnscan.py) feeding the
     planar rotate-and-sum (ops/rotate.rotate_planar_sum) — channel-planar
     end to end, static quadrant pre-rotation even for the traced jitter
-    phase (delta folds into the shear residual bounds)."""
+    phase (delta folds into the shear residual bounds).
+
+    group/n_groups (static) resolve ONLY the bins d == group (mod n_groups)
+    at 1/n_groups the cost: sum over all groups equals the full resolve
+    (the per-bin math is identical; only the reduction partition differs).
+    The realtime display path resolves one angular group per frame and
+    composes the n_groups cached partials — exact for static accumulation,
+    a bounded angular lag when animating (tracers.RBTForwardIntegrator)."""
     s, d = fields.size, fields.n_bins
-    if jax.default_backend() == "tpu" and s % 128 == 0 and d >= 16:
+    bins = range(group, d, n_groups)
+    if n_groups == 1:
+        trans, src = fields.trans, src_accum
+    else:
+        trans = fields.trans[group::n_groups]
+        src = tuple(ch[group::n_groups] for ch in src_accum)
+    if jax.default_backend() == "tpu" and s % 128 == 0 and len(bins) >= 16:
         from ..ops.attnscan import attenuation_scan_rows
         from ..ops.rotate import (FUSED_VMEM_LIMIT, rotate_planar_sum,
                                   rotate_planar_sum_fused)
 
-        dep = attenuation_scan_rows(fields.trans, *src_accum)
+        dep = attenuation_scan_rows(trans, *src)
         oy = (s - height) // 2
         ox = (s - width) // 2
-        base = tuple(-i * 2.0 * np.pi / d for i in range(d))
+        base = tuple(-i * 2.0 * np.pi / d for i in bins)
         max_delta = 2.0 * np.pi / d
         delta = (-fields.phase * max_delta) if traced_phase else 0.0
         if 7 * s * s * 4 <= FUSED_VMEM_LIMIT:
@@ -852,5 +867,34 @@ def resolve_raw(fields: RotatedFields, src_accum: jax.Array,
         out = rotate_planar_sum(dep, base, delta, max_delta, lo, hi)
         out = out[:, oy - lo:oy - lo + height, ox:ox + width]
         return jnp.moveaxis(out, 0, -1)
-    deposited = attenuation_scan(fields, src_accum)
-    return rotate_back(fields, deposited, height, width, traced_phase=traced_phase)
+    if n_groups == 1:
+        deposited = attenuation_scan(fields, src_accum)
+        return rotate_back(fields, deposited, height, width,
+                           traced_phase=traced_phase)
+    # Grouped generic fallback (CPU/tests/small groups): inline scan over
+    # the sliced bins + per-bin inverse-rotation gather. fields.cos/sin
+    # already fold the jitter phase in, so traced_phase needs no branch.
+    sqrt_t = jnp.sqrt(trans)
+
+    def combine(a, b):
+        return (a[0] * b[0], a[1] * b[0] + b[1])
+
+    deps = []
+    for c in range(3):
+        _, dep = jax.lax.associative_scan(combine, (trans, src[c] * sqrt_t),
+                                          axis=2)
+        deps.append(dep)
+    deposited = jnp.stack(deps, axis=-1)
+    ys, xs = jnp.mgrid[0:height, 0:width]
+    p = jnp.stack([xs + 0.5, ys + 0.5], -1).reshape(-1, 2).astype(jnp.float32)
+    rel = p - fields.center
+
+    def one(args):
+        dep_d, cb, sb = args
+        xr = cb * rel[:, 0] + sb * rel[:, 1] + s / 2.0
+        yr = -sb * rel[:, 0] + cb * rel[:, 1] + s / 2.0
+        return gather_bilinear_mxu(dep_d, jnp.stack([xr, yr], -1))
+
+    per_bin = jax.lax.map(one, (deposited, fields.cos[group::n_groups],
+                                fields.sin[group::n_groups]))
+    return per_bin.sum(0).reshape(height, width, 3)

@@ -138,6 +138,22 @@ class RBTForwardIntegrator(ForwardIntegrator):
         self.exact_collimated = True
         self._exact_raw = None
         self._static_override = None
+        # Angular group-interleaved display resolve: with resolve_groups=K,
+        # each output_hdr read resolves ONLY the bins d == t (mod K) of one
+        # (phase, group) combination (1/K the scan+rotate cost) and
+        # composes the cached partial rates of the other combinations. Sum
+        # over groups equals the full resolve exactly (rbt.resolve_raw), so
+        # for a static accumulating scene the composed display converges to
+        # the same image; an animated scene sees a bounded angular lag of
+        # K*len(phases) frames on 1/K of the bins — the same temporal trade
+        # realtime accumulation already makes. Exact readouts (convergence,
+        # dataset writes, raw_accumulation) always use the full resolve.
+        self.resolve_groups = 1
+        self._group_rate = {}
+        self._group_sum = None
+        self._group_next = 0
+        self._group_frame = -1
+        self._group_display = None
         super().__init__(finalize_outscatter, bilinear_writes)
 
     @property
@@ -161,6 +177,11 @@ class RBTForwardIntegrator(ForwardIntegrator):
         self._phase_src = {}
         self._mc_direct = None  # scene-derived static specializations
         self._exact_raw = None
+        self._group_rate = {}
+        self._group_sum = None
+        self._group_next = 0
+        self._group_frame = -1
+        self._group_display = None
 
     def _effective_jitter_phases(self, gb) -> int:
         """Phase-ladder length clamped to jitter_memory_budget bytes of
@@ -278,8 +299,60 @@ class RBTForwardIntegrator(ForwardIntegrator):
             self._resolved = resolve_raw(self._fields, self._src, gb.height, gb.width)
         return self._with_exact(self._resolved)
 
+    def _display_raw_rate(self) -> jax.Array:
+        """Per-frame-rate raw deposits for the realtime display: refresh one
+        (phase, group) combination's partial resolve, compose the cache.
+
+        Each cached entry is resolve_raw(group=t)/iters_at_resolve — an
+        unbiased estimate of that angular group's per-frame deposit rate.
+        During warm-up (cache not yet full) the sum is rescaled by
+        expected/cached so brightness is right immediately and the angular
+        groups fill in over the first K*len(phases) frames."""
+        gb = self.gbuffer
+        k_groups = self.resolve_groups
+        iters = jnp.float32(max(1, self.iterations_since_clear))
+        if self.jitter_bins:
+            phases = sorted(self._phase_src.keys())
+        else:
+            phases = [None]
+        if not phases or (phases == [None] and self._src is None):
+            return jnp.zeros((gb.height, gb.width, 3))
+        c = self._group_next
+        self._group_next += 1
+        t = c % k_groups
+        p = phases[(c // k_groups) % len(phases)]
+        if p is None:
+            fields, src, traced = self._fields, self._src, False
+        else:
+            fields, src, traced = self._phase_fields[p], self._phase_src[p], True
+        rate = resolve_raw(fields, src, gb.height, gb.width,
+                           traced_phase=traced, group=t,
+                           n_groups=k_groups) / iters
+        prev = self._group_rate.get((p, t))
+        if self._group_sum is None:
+            self._group_sum = rate
+        elif prev is None:
+            self._group_sum = self._group_sum + rate
+        else:
+            self._group_sum = self._group_sum + (rate - prev)
+        self._group_rate[(p, t)] = rate
+        expected = k_groups * len(phases)
+        scale = expected / len(self._group_rate)
+        total = self._group_sum * scale if scale != 1.0 else self._group_sum
+        if self._exact_raw is not None:
+            total = total + self._exact_raw
+        return total
+
     @property
     def output_hdr(self) -> jax.Array:
+        if self.resolve_groups > 1:
+            # One refresh per traced frame no matter how many reads.
+            if getattr(self, "_group_frame", -1) != self.iterations_since_clear:
+                self._group_frame = self.iterations_since_clear
+                self._group_display = to_hdr(
+                    self._display_raw_rate(), jnp.float32(1.0),
+                    self.gbuffer, self.finalize_outscatter)
+            return self._group_display
         return to_hdr(self.raw_accumulation,
                       jnp.float32(self.iterations_since_clear),
                       self.gbuffer, self.finalize_outscatter)

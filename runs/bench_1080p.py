@@ -41,6 +41,10 @@ PHOTONS = arg("--photons", 262_144)
 BOUNCE_PHOTONS = arg("--bounce", 65_536)
 N_BINS = arg("--bins", 128)
 FRAMES = arg("--frames", 5)
+# Angular group-interleaved display resolve (tracers.RBTForwardIntegrator
+# resolve_groups): each frame resolves bins d == t (mod K) at 1/K cost and
+# composes K cached partial rates. 1 = full resolve every frame.
+GROUPS = arg("--groups", 1)
 
 
 def build():
@@ -122,6 +126,17 @@ def main():
     def resolve(fields, src):
         return rbt.resolve_raw(fields, src, SIM_H, SIM_W)
 
+    def resolve_group(fields, src, cache, i):
+        """One interleaved display resolve: refresh slot i%K of the cached
+        (K, H, W, 3) group partials, return (new cache, composed raw)."""
+        t = i % GROUPS
+        part = jax.lax.switch(t, [
+            (lambda f, s, g=g: rbt.resolve_raw(f, s, SIM_H, SIM_W,
+                                               group=g, n_groups=GROUPS))
+            for g in range(GROUPS)], fields, src)
+        cache = jax.lax.dynamic_update_index_in_dim(cache, part, t, 0)
+        return cache, cache.sum(0)
+
     def display(raw, iters, gb, model_vars):
         hdr = to_hdr(raw, iters, gb, finalize_outscatter=True)
         den = denoise(hdr, model_vars)
@@ -143,10 +158,18 @@ def main():
         # The 1-element carry-add forces a fresh resolve per iteration
         # (a loop-invariant src lets XLA hoist the whole resolve and the
         # stage reads amortized — round 1's "13.7 ms" artifact).
-        def body(c, i):
+        cache0 = jnp.zeros((GROUPS, SIM_H, SIM_W, 3))
+
+        def body(carry, i):
+            c, cache = carry
             srci = tuple(ch.at[0, 0, 0].add(c * 1e-30) for ch in src)
-            return c + resolve(fields, srci)[0, 0, 0], 0.0
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(FRAMES))
+            if GROUPS > 1:
+                cache, raw = resolve_group(fields, srci, cache, i)
+            else:
+                raw = resolve(fields, srci)
+            return (c + raw[0, 0, 0], cache), 0.0
+        (c, _), _ = jax.lax.scan(body, (jnp.float32(0.0), cache0),
+                                 jnp.arange(FRAMES))
         return c
 
     @jax.jit
@@ -154,9 +177,12 @@ def main():
         return display(raw, jnp.float32(1.0), gb, model_vars)[0, 0, 0]
 
     @jax.jit
-    def fused_once(fields, src, gb, lights, ftex, brdf, key, model_vars):
+    def fused_once(fields, src, cache, gb, lights, ftex, brdf, key, model_vars):
         src = trace(fields, src, gb, lights, ftex, brdf, key)
-        raw = resolve(fields, src)
+        if GROUPS > 1:
+            _, raw = resolve_group(fields, src, cache, jnp.int32(0))
+        else:
+            raw = resolve(fields, src)
         return display(raw, jnp.float32(1.0), gb, model_vars)[0, 0, 0]
 
     rtt = measure_rtt()
@@ -184,8 +210,9 @@ def main():
     t_resolve = time_fn("resolve", resolve_frames, fields, src1)
     raw1 = jax.jit(resolve)(fields, src1)
     t_display = time_fn("display", display_once, raw1, gb, variables, per_frame=1)
-    t_fused = time_fn("FUSED  ", fused_once, fields, src0, gb, lights, ftex,
-                      brdf, key, variables, per_frame=1)
+    cache0 = jnp.zeros((GROUPS, SIM_H, SIM_W, 3))
+    t_fused = time_fn("FUSED  ", fused_once, fields, src0, cache0, gb, lights,
+                      ftex, brdf, key, variables, per_frame=1)
     fps = 1.0 / t_fused
     print(f"1080p fused: {t_fused*1000:.2f} ms/frame = {fps:.1f} FPS "
           f"(target 60; stages {t_trace*1e3:.1f}+{t_resolve*1e3:.1f}+{t_display*1e3:.1f})")

@@ -426,3 +426,57 @@ def test_jitter_ladder_memory_budget_clamps():
     for f in range(4):
         t.integrate(scene, jax.random.key(f))
     assert set(t._phase_src) == {0, 1}
+
+
+def test_resolve_group_partition(setup):
+    """Sum of group resolves == full resolve (the reduction is merely
+    partitioned over bins; per-bin math identical)."""
+    scene, gb, brdf, fields = setup
+    src = rbt.zero_sources(fields)
+    src, _ = rbt.rbt_trace_frame(fields, src, gb, scene.lights,
+                                 scene.field_textures, brdf,
+                                 jax.random.key(3), 8192, jnp.int32(1),
+                                 max_bounces=1)
+    full = np.asarray(rbt.resolve_raw(fields, src, W, W))
+    for k in (2, 4):
+        parts = sum(np.asarray(rbt.resolve_raw(fields, src, W, W,
+                                               group=t, n_groups=k))
+                    for t in range(k))
+        np.testing.assert_allclose(parts, full, rtol=2e-5, atol=1e-6)
+
+
+def test_grouped_display_matches_full(setup):
+    """RBTForwardIntegrator with resolve_groups=K: once the group cache is
+    warm, the composed display equals the full-resolve output (deposits are
+    deterministic under analytic direct lighting, so every cached group
+    rate is exact)."""
+    from litbox_tpu.sim.tracers import RBTForwardIntegrator
+
+    scene, gb, brdf, fields = setup
+    K = 4
+
+    def run(groups):
+        integ = RBTForwardIntegrator(n_bins=64)
+        integ.resolve_groups = groups
+        integ.gbuffer = gb
+        integ.rays_to_emit = 2048
+        integ.max_bounces = 1
+        integ.override_bounce_count = 1
+        integ._brdf = brdf
+        key = jax.random.key(5)
+        outs = []
+        for f in range(2 * K):
+            integ.integrate(scene, jax.random.fold_in(key, f))
+            outs.append(np.asarray(integ.output_hdr))
+        return outs
+
+    grouped = run(K)
+    full = run(1)
+    # Warm cache (>= K frames in): same image up to the MC-bounce noise
+    # difference of group rates cached at earlier iteration counts (the
+    # analytic direct component is deterministic and cancels exactly).
+    np.testing.assert_allclose(grouped[-1], full[-1], rtol=2e-2, atol=1e-6)
+    # Warm-up frames are brightness-corrected: total luminance within 40%
+    # of the full resolve from the very first frame.
+    l0 = grouped[0].sum() / max(full[0].sum(), 1e-9)
+    assert 0.6 < l0 < 1.7, l0
