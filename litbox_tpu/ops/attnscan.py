@@ -55,28 +55,40 @@ def _scan_kernel_factory(width: int, n_steps: int):
     return kernel
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("group", "n_groups"))
 def attenuation_scan_rows(t: jax.Array, src0: jax.Array, src1: jax.Array,
-                          src2: jax.Array) -> tuple:
+                          src2: jax.Array, group: int = 0,
+                          n_groups: int = 1) -> tuple:
     """Per-row affine scan of 3 channels over (D, S, S) fields.
 
-    Returns (dep0, dep1, dep2), each (D, S, S) float32:
+    Returns (dep0, dep1, dep2), each (D//n_groups, S, S) float32:
     dep[d, y, x] = sum_{k<=x} src[d, y, k]*sqrt(t[d, y, k]) * prod_{j in (k, x]} t[d, y, j].
+
+    group/n_groups (static) scan ONLY the bins d == group (mod n_groups):
+    the strided selection happens in the BlockSpec index_map, so the kernel
+    reads exactly the group's blocks from HBM — no sliced-copy of the
+    (D, S, S) inputs (a materialized `t[group::n_groups]` gather measured
+    ~3 ms of the ~12 ms grouped resolve at S=640/D=128,
+    runs/prof_groups.py vs prof_resolve6.py).
     """
     d, rows, width = t.shape
     assert width % 128 == 0, width  # lane alignment for pltpu.roll
+    assert d % n_groups == 0 and 0 <= group < n_groups
+    dg = d // n_groups
     blk = ROW_BLOCK
     while rows % blk:
         blk //= 2
     n_steps = max(int(np.ceil(np.log2(width))), 1)
     kernel = _scan_kernel_factory(width, n_steps)
-    spec = pl.BlockSpec((1, blk, width), lambda i, j: (i, j, 0))
+    in_spec = pl.BlockSpec((1, blk, width),
+                           lambda i, j: (group + i * n_groups, j, 0))
+    out_spec = pl.BlockSpec((1, blk, width), lambda i, j: (i, j, 0))
     out = pl.pallas_call(
         kernel,
-        grid=(d, rows // blk),
-        in_specs=[spec] * 4,
-        out_specs=(spec, spec, spec),
-        out_shape=tuple(jax.ShapeDtypeStruct((d, rows, width), jnp.float32)
+        grid=(dg, rows // blk),
+        in_specs=[in_spec] * 4,
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((dg, rows, width), jnp.float32)
                         for _ in range(3)),
         interpret=jax.default_backend() != "tpu",
     )(t, src0, src1, src2)

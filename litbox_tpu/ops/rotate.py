@@ -406,6 +406,15 @@ def rotate_planar_sum_fused(channels: tuple, base_angles: tuple,
     """Fused planar rotate-and-accumulate: sum_d R(base_angles[d] + delta)
     applied to image d of each channel plane; returns (C, S, S).
 
+    NOT the production resolve path: measured SLOWER than the batched
+    quadrant-run pipeline (rotate_planar_sum) once single-element-index DCE
+    artifacts were removed from the profile — 53.3 vs 32.9 ms full bins,
+    14.0 vs 8.2 ms at 1/4 bins at S=640/D=128 (runs/prof_resolve6.py). The
+    per-channel pallas_call repeats the two whole-image in-VMEM transposes
+    three times (once per channel), which the batched pipeline amortizes.
+    Kept as the VMEM-resident reference implementation for arbitrary traced
+    deltas with zero static-bound widening.
+
     The kernel computes per-quadrant-run partial sums WITHOUT the rot90
     pre-rotation of rotate_planar_sum; the epilogue applies rot90 to the
     R <= 5 run partials instead (rotations about a common center commute,

@@ -839,29 +839,25 @@ def resolve_raw(fields: RotatedFields, src_accum: jax.Array,
     a bounded angular lag when animating (tracers.RBTForwardIntegrator)."""
     s, d = fields.size, fields.n_bins
     bins = range(group, d, n_groups)
-    if n_groups == 1:
-        trans, src = fields.trans, src_accum
-    else:
-        trans = fields.trans[group::n_groups]
-        src = tuple(ch[group::n_groups] for ch in src_accum)
     if jax.default_backend() == "tpu" and s % 128 == 0 and len(bins) >= 16:
         from ..ops.attnscan import attenuation_scan_rows
-        from ..ops.rotate import (FUSED_VMEM_LIMIT, rotate_planar_sum,
-                                  rotate_planar_sum_fused)
+        from ..ops.rotate import rotate_planar_sum
 
-        dep = attenuation_scan_rows(trans, *src)
+        # Group selection happens inside the scan's BlockSpec index_map
+        # (strided HBM block reads, no sliced-copy of the (D, S, S) inputs).
+        dep = attenuation_scan_rows(fields.trans, *src_accum,
+                                    group=group, n_groups=n_groups)
         oy = (s - height) // 2
         ox = (s - width) // 2
         base = tuple(-i * 2.0 * np.pi / d for i in bins)
         max_delta = 2.0 * np.pi / d
         delta = (-fields.phase * max_delta) if traced_phase else 0.0
-        if 7 * s * s * 4 <= FUSED_VMEM_LIMIT:
-            # Whole-image fused kernel: image stays VMEM-resident across
-            # all three shears (runs/prof_resolve2.py: the separate-pass
-            # pipeline spent 26 of 34 ms inside compute-bound shear calls).
-            out = rotate_planar_sum_fused(dep, base, delta)
-            out = out[:, oy:oy + height, ox:ox + width]
-            return jnp.moveaxis(out, 0, -1)
+        # Quadrant-run shear pipeline. The whole-image fused 3-shear kernel
+        # (rotate_planar_sum_fused) measured SLOWER once DCE artifacts were
+        # removed: 53.3 vs 32.9 ms full, 14.0 vs 8.2 ms at 1/4 groups at
+        # S=640/D=128 (runs/prof_resolve6.py) — its per-channel pallas_call
+        # repeats the two in-VMEM transposes 3x, while this path shears all
+        # channels in one batched call.
         lo = (oy // 64) * 64
         hi = min(-(-(oy + height) // 64) * 64, s)
         out = rotate_planar_sum(dep, base, delta, max_delta, lo, hi)
@@ -874,6 +870,8 @@ def resolve_raw(fields: RotatedFields, src_accum: jax.Array,
     # Grouped generic fallback (CPU/tests/small groups): inline scan over
     # the sliced bins + per-bin inverse-rotation gather. fields.cos/sin
     # already fold the jitter phase in, so traced_phase needs no branch.
+    trans = fields.trans[group::n_groups]
+    src = tuple(ch[group::n_groups] for ch in src_accum)
     sqrt_t = jnp.sqrt(trans)
 
     def combine(a, b):
