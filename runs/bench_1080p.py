@@ -176,14 +176,27 @@ def main():
     def display_once(raw, gb, model_vars):
         return display(raw, jnp.float32(1.0), gb, model_vars)[0, 0, 0]
 
+    # The fused frame is timed over FUSED_REPS UNROLLED frames chained
+    # through the source accumulator (the actual production loop: trace ->
+    # grouped resolve -> display each frame). Single-call RTT subtraction
+    # has ~5 ms of tunnel noise; unrolling amortizes it. lax.scan is not an
+    # option (a UNet inside scan compiled 20+ minutes round 1).
+    FUSED_REPS = 4
+
     @jax.jit
-    def fused_once(fields, src, cache, gb, lights, ftex, brdf, key, model_vars):
-        src = trace(fields, src, gb, lights, ftex, brdf, key)
-        if GROUPS > 1:
-            _, raw = resolve_group(fields, src, cache, jnp.int32(0))
-        else:
-            raw = resolve(fields, src)
-        return display(raw, jnp.float32(1.0), gb, model_vars)[0, 0, 0]
+    def fused_frames(fields, src, cache, gb, lights, ftex, brdf, key,
+                     model_vars):
+        acc = jnp.float32(0.0)
+        for r in range(FUSED_REPS):
+            src = trace(fields, src, gb, lights, ftex, brdf,
+                        jax.random.fold_in(key, r))
+            if GROUPS > 1:
+                cache, raw = resolve_group(fields, src, cache, jnp.int32(r))
+            else:
+                raw = resolve(fields, src)
+            acc = acc + display(raw, jnp.float32(r + 1.0), gb,
+                                model_vars)[0, 0, 0]
+        return acc
 
     rtt = measure_rtt()
     print(f"rtt {rtt*1000:.1f} ms  photons {PHOTONS} + {BOUNCE_PHOTONS} bounce, "
@@ -211,8 +224,9 @@ def main():
     raw1 = jax.jit(resolve)(fields, src1)
     t_display = time_fn("display", display_once, raw1, gb, variables, per_frame=1)
     cache0 = jnp.zeros((GROUPS, SIM_H, SIM_W, 3))
-    t_fused = time_fn("FUSED  ", fused_once, fields, src0, cache0, gb, lights,
-                      ftex, brdf, key, variables, per_frame=1)
+    t_fused = time_fn("FUSED  ", fused_frames, fields, src0, cache0, gb,
+                      lights, ftex, brdf, key, variables,
+                      per_frame=FUSED_REPS)
     fps = 1.0 / t_fused
     print(f"1080p fused: {t_fused*1000:.2f} ms/frame = {fps:.1f} FPS "
           f"(target 60; stages {t_trace*1e3:.1f}+{t_resolve*1e3:.1f}+{t_display*1e3:.1f})")
