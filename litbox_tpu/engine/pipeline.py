@@ -45,12 +45,19 @@ def denoise_hdr(model: "LitboxDenoiserNet", model_variables: Any,
     h, w = hdr.shape[:2]
     ph = (32 - h % 32) % 32
     pw = (32 - w % 32) % 32
-    x = hdr.transpose(2, 0, 1)[..., None]
+    if model.out_channels == 3:
+        # RGB variant: one pass, channels stay channels (the realtime
+        # display net — see LitboxDenoiserNet.out_channels).
+        x = hdr[None]
+    else:
+        x = hdr.transpose(2, 0, 1)[..., None]
     if ph or pw:
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
     xin, stats = pre_transform(x, transform)
     out = model.apply(model_variables, xin, train=False)
     out = post_transform(out, stats, transform)
+    if model.out_channels == 3:
+        return out[0, :h, :w, :]
     return out[:, :h, :w, 0].transpose(1, 2, 0)
 
 

@@ -19,7 +19,7 @@ from ..io.images import read_image_linear, write_png
 
 
 def infer_large(run_mono, img: np.ndarray, tile: int = 256, overlap: int = 32,
-                batch: int = 8) -> np.ndarray:
+                batch: int = 8, rgb: bool = False) -> np.ndarray:
     """Denoise (H, W, C) channel-wise in overlapping tiles.
 
     run_mono: jitted fn mapping (N, tile, tile, 1) -> (N, tile, tile, 1).
@@ -41,7 +41,8 @@ def infer_large(run_mono, img: np.ndarray, tile: int = 256, overlap: int = 32,
             px = min(tile - padded.shape[1], padded.shape[1] - 1)
             padded = np.pad(padded, ((0, max(py, 0)), (0, max(px, 0)), (0, 0)),
                             mode="reflect")
-        return infer_large(run_mono, padded, tile, overlap, batch)[:h, :w]
+        return infer_large(run_mono, padded, tile, overlap, batch,
+                           rgb=rgb)[:h, :w]
     stride = tile - overlap
     out = np.zeros_like(img, dtype=np.float32)
     counts = np.zeros((h, w, 1), dtype=np.float32)
@@ -57,24 +58,32 @@ def infer_large(run_mono, img: np.ndarray, tile: int = 256, overlap: int = 32,
     if xs and xs[-1] + tile > w:
         xs[-1] = max(0, w - tile)
 
+    # rgb=True: run_mono takes (N, tile, tile, 3) tiles in one pass (the
+    # RGB realtime variant, unet.LitboxDenoiserNet.out_channels=3); the
+    # default runs each channel as its own work item (reference parity).
+    chans = [None] if rgb else list(range(c))
     work = [(y, x, ci) for y in dict.fromkeys(ys) for x in dict.fromkeys(xs)
-            if y + tile <= h and x + tile <= w for ci in range(c)]
+            if y + tile <= h and x + tile <= w for ci in chans]
 
     for s in range(0, len(work), batch):
         group = work[s:s + batch]
-        blocks = np.stack([img[y:y + tile, x:x + tile, ci:ci + 1]
+        blocks = np.stack([img[y:y + tile, x:x + tile]
+                           if ci is None else img[y:y + tile, x:x + tile,
+                                                  ci:ci + 1]
                            for y, x, ci in group])
         # Pad the last group to the compiled batch size (avoids a recompile).
         pad = batch - len(group)
         if pad:
             blocks = np.concatenate([blocks, np.zeros((pad,) + blocks.shape[1:],
                                                       blocks.dtype)])
-        res = np.asarray(run_mono(jnp.asarray(blocks)))[:len(group), :, :, 0]
+        res = np.asarray(run_mono(jnp.asarray(blocks)))[:len(group)]
         for (y, x, ci), r in zip(group, res):
-            out[y + inner:y + tile - inner, x + inner:x + tile - inner, ci] += (
-                r[inner:tile - inner, inner:tile - inner])
+            sl = slice(None) if ci is None else ci
+            out[y + inner:y + tile - inner, x + inner:x + tile - inner, sl] += (
+                r[inner:tile - inner, inner:tile - inner,
+                  slice(None) if ci is None else 0])
         for (y, x, ci), _ in zip(group, res):
-            if ci == 0:
+            if ci is None or ci == 0:
                 counts[y + inner:y + tile - inner, x + inner:x + tile - inner] += 1
 
     return out / np.maximum(counts, 1.0)

@@ -44,6 +44,9 @@ class TrainConfig:
     loss: HdrLossConfig = dataclasses.field(default_factory=HdrLossConfig)
     transform: TransformConfig = dataclasses.field(default_factory=TransformConfig)
     seed: int = 0
+    # Train the 3-channel RGB variant (unet.LitboxDenoiserNet.out_channels):
+    # the realtime display net — one pass per frame instead of three.
+    rgb: bool = False
 
 
 def load_train_config(checkpoint_path: str) -> TrainConfig:
@@ -67,9 +70,11 @@ class Trainer:
         self.model = LitboxDenoiserNet(
             unet_size=cfg.unet_size, initial_features=cfg.initial_features,
             padding_mode=cfg.padding_mode, use_sigmoid=cfg.use_sigmoid,
-            global_residual=cfg.global_residual)
+            global_residual=cfg.global_residual,
+            out_channels=3 if cfg.rgb else 1)
         key = jax.random.key(cfg.seed)
-        dummy = jnp.zeros((1, cfg.crop_size, cfg.crop_size, 1))
+        dummy = jnp.zeros((1, cfg.crop_size, cfg.crop_size,
+                           3 if cfg.rgb else 1))
         variables = self.model.init(key, dummy, train=False)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
@@ -137,7 +142,11 @@ class Trainer:
         for name, dataset in curriculum:
             for epoch in range(self.cfg.epochs):
                 for batch in dataset.batches(self.cfg.batch_size, rng, shuffle=False):
-                    inputs, targets = self.select_random_channel(batch, rng)
+                    if self.cfg.rgb:
+                        inputs = jnp.asarray(batch["input_a"])
+                        targets = jnp.asarray(batch["reference"])
+                    else:
+                        inputs, targets = self.select_random_channel(batch, rng)
                     loss = self.train_batch(inputs, targets)
                     now = time.time()
                     if now - last_print >= log_every:

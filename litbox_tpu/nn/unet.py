@@ -88,6 +88,12 @@ class LitboxDenoiserNet(nn.Module):
     padding_mode: str = "reflect"
     use_sigmoid: bool = False
     global_residual: bool = False
+    # 1 = the reference's mono architecture (channels processed as batch,
+    # weight-interchangeable with litbox_model.py). 3 = the TPU realtime
+    # display variant: one RGB pass costs 1/3 of three mono passes, and on
+    # TPU the mono batch buys nothing (channel lanes are padded to 128
+    # either way; runs/prof_display3.py).
+    out_channels: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -122,11 +128,12 @@ class LitboxDenoiserNet(nn.Module):
             y = ResidualBlock(c, pm, name=f"skip{i}b")(y, train)
 
         if self.global_residual:
-            y = nn.Conv(1, (3, 3), padding="SAME", name="conv_out",
+            y = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                        name="conv_out",
                         kernel_init=nn.initializers.zeros)(y)
             y = y + x
         else:
-            y = Conv3x3(1, "zeros", name="conv_out")(y)
+            y = Conv3x3(self.out_channels, "zeros", name="conv_out")(y)
         if self.use_sigmoid:
             y = nn.sigmoid(y)
         return y

@@ -85,7 +85,7 @@ def main():
 
         def denoise8(img8: np.ndarray) -> np.ndarray:
             lin = (img8 / 255.0) ** 2.2
-            out = infer_large(eval_fn, lin.astype(np.float32))
+            out = infer_large(eval_fn, lin.astype(np.float32), rgb=trainer.cfg.rgb)
             out = np.clip(out, 0.0, None) ** (1 / 2.2)
             return np.clip(out * 255.0, 0.0, 255.0)
 

@@ -50,7 +50,7 @@ for prof in (0, 1, 2):
         for tracer in ("A", "B"):
             p = os.path.join(dataset_dir, f"Input{prof}_Radiance_{tracer}_{i}.exr")
             noisy = read_image_linear(p) * s
-            out = infer_large(fn, noisy)
+            out = infer_large(fn, noisy, rgb=trainer.cfg.rgb)
             peak = max(float(ref.max()), 1e-6)
             psnr = lambda x: 10 * np.log10(
                 peak**2 / max(float(((x - ref) ** 2).mean()), 1e-12))

@@ -64,7 +64,7 @@ for i in held:
     s = 0.18 / max(float(ref.mean()), 1e-6)
     ref = ref * s
     noisy = noisy * s
-    out = infer_large(fn, noisy.astype(np.float32))
+    out = infer_large(fn, noisy.astype(np.float32), rgb=trainer.cfg.rgb)
     peak = max(float(ref.max()), 1e-6)
     psnr = lambda x: 10 * np.log10(peak**2 / max(float(((x - ref) ** 2).mean()), 1e-12))
     rows.append(dict(scene=i, base=psnr(noisy), den=psnr(out)))

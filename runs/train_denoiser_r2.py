@@ -107,12 +107,18 @@ FEATS = int(_os.environ.get("LITBOX_TRAIN_FEATS", "32"))
 LR = float(_os.environ.get("LITBOX_TRAIN_LR", "1e-4"))
 BATCH = int(_os.environ.get("LITBOX_TRAIN_BATCH", "8"))
 WCAP = float(_os.environ.get("LITBOX_TRAIN_WCAP", "0")) or None
+# RGB realtime variant (out_channels=3, one pass/frame) + padding mode:
+# reflect pad measured +6.4 ms/frame at 480x272 (runs/prof_display4.py);
+# the realtime display net trains with zero padding.
+RGB = _os.environ.get("LITBOX_TRAIN_RGB", "0") == "1"
+PAD = _os.environ.get("LITBOX_TRAIN_PAD", "reflect")
 from litbox_tpu.nn.loss import HdrLossConfig
 
 cfg = TrainConfig(unet_size=3 if SMOKE else UNET,
                   initial_features=8 if SMOKE else FEATS,
                   crop_size=CROP, learn_rate=LR, epochs=1,
                   batch_size=2 if SMOKE else BATCH, global_residual=True,
+                  rgb=RGB, padding_mode=PAD,
                   loss=HdrLossConfig(weight_cap=WCAP),
                   transform=TransformConfig(normalize_input=True))
 trainer = Trainer(cfg)
@@ -138,7 +144,7 @@ def heldout_gain(max_scenes: int = 6, prefix: str | None = None) -> tuple[float,
 
         noisy = read_image_linear(os.path.join(dataset_dir, f"{prefix}_Radiance_A_{i}.exr")) * s
         ref = read_image_linear(os.path.join(dataset_dir, f"Output_Reference_{i}.exr")) * s
-        out = infer_large(fn, noisy)
+        out = infer_large(fn, noisy, rgb=trainer.cfg.rgb)
         peak = max(float(ref.max()), 1e-6)
         psnr = lambda x: 10 * np.log10(peak**2 / max(float(((x - ref) ** 2).mean()), 1e-12))
         base.append(psnr(noisy))

@@ -1,5 +1,6 @@
 """Denoiser training loop + dataset + tiled inference tests."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -134,3 +135,38 @@ def test_infer_large_subtile_input():
 
     with pytest.raises(ValueError):
         infer_large(run, img[:1], tile=32, overlap=8)
+
+
+def test_rgb_variant_identity_at_init_and_trains():
+    """The RGB realtime display net (out_channels=3, one pass per frame):
+    identity at init under global_residual, trainable, and tiled inference
+    covers the image (nn/unet.LitboxDenoiserNet.out_channels)."""
+    from litbox_tpu.engine.pipeline import denoise_hdr
+    from litbox_tpu.nn.unet import TransformConfig
+
+    cfg = TrainConfig(unet_size=2, initial_features=4, crop_size=32,
+                      batch_size=2, rgb=True, padding_mode="zeros",
+                      global_residual=True,
+                      transform=TransformConfig(normalize_input=True))
+    trainer = Trainer(cfg)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    loss0 = trainer.train_batch(x, y)
+    assert np.isfinite(loss0)
+
+    # identity at init (fresh trainer): residual head is zero-initialized
+    fresh = Trainer(cfg)
+    hdr = jnp.asarray(rng.uniform(0.1, 1, (40, 48, 3)).astype(np.float32))
+    den = denoise_hdr(fresh.model,
+                      {"params": fresh.params,
+                       "batch_stats": fresh.batch_stats},
+                      hdr, cfg.transform)
+    assert den.shape == hdr.shape
+    np.testing.assert_allclose(np.asarray(den), np.asarray(hdr), atol=1e-3)
+
+    img = rng.uniform(0, 1, (70, 90, 3)).astype(np.float32)
+    out = infer_large(fresh.eval_fn(), img, tile=32, overlap=8, rgb=True)
+    assert out.shape == img.shape
+    assert np.all(np.isfinite(out))
+    np.testing.assert_allclose(out[8:-8, 8:-8], img[8:-8, 8:-8], atol=1e-3)
