@@ -148,6 +148,15 @@ class Simulation:
         return self._output_hdr
 
     @property
+    def display_hdr(self):
+        """Realtime display image: tracer-pair mean of the display outputs
+        (grouped approximate resolve when resolve_groups > 1 on the RBT
+        engine). Quality-bearing consumers — convergence, dataset writes —
+        read simulation_output_hdr, which is always the exact resolve."""
+        a, b = self._tracers
+        return (a.display_output + b.display_output) * 0.5
+
+    @property
     def variance_map(self):
         self._refresh_outputs()
         return self._variance_map

@@ -141,7 +141,10 @@ class Trainer:
         log = []
         for name, dataset in curriculum:
             for epoch in range(self.cfg.epochs):
-                for batch in dataset.batches(self.cfg.batch_size, rng, shuffle=False):
+                # Reference DataLoader semantics shuffle every epoch; without
+                # it batch composition is identical across epochs and only
+                # the crop/rotation augmentation varies.
+                for batch in dataset.batches(self.cfg.batch_size, rng, shuffle=True):
                     if self.cfg.rgb:
                         inputs = jnp.asarray(batch["input_a"])
                         targets = jnp.asarray(batch["reference"])

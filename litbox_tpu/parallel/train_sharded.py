@@ -10,6 +10,15 @@ The reference has no distributed training (single GPU PyTorch,
 SURVEY.md section 2.8); this is the TPU-native scaling design for the
 production-size model (unet_size=5 -> 2048-channel bottleneck, ~300M params
 where channel sharding genuinely matters).
+
+BatchNorm under data parallelism: this is GSPMD `jit` (single logical
+program with sharded operands), NOT per-device `pmap` replicas — the BN
+batch means/variances are reductions over the FULL logical batch, for which
+XLA inserts the cross-device all-reduces automatically. There is no
+per-shard statistics drift to sync by hand (the pmap-era `pmean` idiom);
+tests/test_parallel.py::test_sharded_train_bn_stats_are_global proves the
+running stats match a single-device step bit-for-bit-tolerance on the same
+global batch.
 """
 
 from __future__ import annotations

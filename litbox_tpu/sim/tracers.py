@@ -139,22 +139,44 @@ class RBTForwardIntegrator(ForwardIntegrator):
         self._exact_raw = None
         self._static_override = None
         # Angular group-interleaved display resolve: with resolve_groups=K,
-        # each output_hdr read resolves ONLY the bins d == t (mod K) of one
+        # each display_hdr read resolves ONLY the bins d == t (mod K) of one
         # (phase, group) combination (1/K the scan+rotate cost) and
         # composes the cached partial rates of the other combinations. Sum
         # over groups equals the full resolve exactly (rbt.resolve_raw), so
         # for a static accumulating scene the composed display converges to
         # the same image; an animated scene sees a bounded angular lag of
         # K*len(phases) frames on 1/K of the bins — the same temporal trade
-        # realtime accumulation already makes. Exact readouts (convergence,
-        # dataset writes, raw_accumulation) always use the full resolve.
-        self.resolve_groups = 1
+        # realtime accumulation already makes. ONLY display_hdr uses the
+        # grouped composition; output_hdr (and through it convergence,
+        # dataset writes, raw_accumulation) is always the exact full resolve.
+        self._resolve_groups = 1
         self._group_rate = {}
         self._group_sum = None
         self._group_next = 0
         self._group_frame = -1
         self._group_display = None
         super().__init__(finalize_outscatter, bilinear_writes)
+
+    @property
+    def resolve_groups(self) -> int:
+        return self._resolve_groups
+
+    @resolve_groups.setter
+    def resolve_groups(self, k: int):
+        k = int(k)
+        if k < 1 or self.n_bins % k != 0:
+            raise ValueError(
+                f"resolve_groups={k} must be >=1 and divide n_bins={self.n_bins}"
+                " (the TPU grouped scan selects bins d == t (mod K) with a"
+                " static stride)")
+        if k != self._resolve_groups:
+            self._resolve_groups = k
+            # Cached partials are keyed to the old bin partition — drop them.
+            self._group_rate = {}
+            self._group_sum = None
+            self._group_next = 0
+            self._group_frame = -1
+            self._group_display = None
 
     @property
     def gbuffer(self):
@@ -345,6 +367,18 @@ class RBTForwardIntegrator(ForwardIntegrator):
 
     @property
     def output_hdr(self) -> jax.Array:
+        """EXACT HDR output (full resolve). Convergence measurement, dataset
+        writes, and any quality-bearing consumer read this; the grouped
+        approximation is display_hdr only."""
+        return to_hdr(self.raw_accumulation,
+                      jnp.float32(self.iterations_since_clear),
+                      self.gbuffer, self.finalize_outscatter)
+
+    @property
+    def display_hdr(self) -> jax.Array:
+        """Realtime display HDR: the group-interleaved composed resolve when
+        resolve_groups > 1 (1/K of the scan+rotate cost per frame, bounded
+        angular lag — see the resolve_groups comment), else exact."""
         if self.resolve_groups > 1:
             # One refresh per traced frame no matter how many reads.
             if getattr(self, "_group_frame", -1) != self.iterations_since_clear:
@@ -353,9 +387,7 @@ class RBTForwardIntegrator(ForwardIntegrator):
                     self._display_raw_rate(), jnp.float32(1.0),
                     self.gbuffer, self.finalize_outscatter)
             return self._group_display
-        return to_hdr(self.raw_accumulation,
-                      jnp.float32(self.iterations_since_clear),
-                      self.gbuffer, self.finalize_outscatter)
+        return self.output_hdr
 
 
 class BackwardIntegrator:
@@ -438,6 +470,12 @@ class LightTransportTracer:
         return self.forward.output_hdr
 
     @property
+    def display_output(self):
+        """Realtime display image: grouped approximate resolve when the
+        forward integrator has resolve_groups > 1, exact otherwise."""
+        return getattr(self.forward, "display_hdr", self.forward.output_hdr)
+
+    @property
     def forward_write_count(self):
         return self.forward.write_count
 
@@ -485,6 +523,10 @@ class HybridTracer:
 
     @property
     def tracer_output(self):
+        return self.backward.output
+
+    @property
+    def display_output(self):
         return self.backward.output
 
     @property

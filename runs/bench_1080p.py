@@ -90,8 +90,12 @@ def main():
     use_bf16 = "--bf16" in sys.argv
 
     scene, gb, brdf, fields = build()
+    # --rgb / --pad zeros: bench the realtime display variant (one RGB UNet
+    # pass, zero padding) with random weights before a checkpoint exists.
     tcfg = (load_train_config(ckpt) if ckpt
-            else TrainConfig(transform=TransformConfig_default()))
+            else TrainConfig(transform=TransformConfig_default(),
+                             rgb="--rgb" in sys.argv,
+                             padding_mode=arg("--pad", "reflect", str)))
     trainer = Trainer(tcfg)
     if ckpt:
         trainer.load(ckpt)

@@ -467,7 +467,7 @@ def test_grouped_display_matches_full(setup):
         outs = []
         for f in range(2 * K):
             integ.integrate(scene, jax.random.fold_in(key, f))
-            outs.append(np.asarray(integ.output_hdr))
+            outs.append(np.asarray(integ.display_hdr))
         return outs
 
     grouped = run(K)
@@ -480,3 +480,50 @@ def test_grouped_display_matches_full(setup):
     # of the full resolve from the very first frame.
     l0 = grouped[0].sum() / max(full[0].sum(), 1e-9)
     assert 0.6 < l0 < 1.7, l0
+
+
+def test_output_hdr_exact_under_groups(setup):
+    """output_hdr (convergence/dataset consumer) is the exact full resolve
+    regardless of resolve_groups; only display_hdr uses the grouped
+    composition."""
+    from litbox_tpu.sim.tracers import RBTForwardIntegrator
+
+    scene, gb, brdf, fields = setup
+
+    def make(groups):
+        integ = RBTForwardIntegrator(n_bins=64)
+        integ.resolve_groups = groups
+        integ.gbuffer = gb
+        integ.rays_to_emit = 2048
+        integ.max_bounces = 1
+        integ.override_bounce_count = 1
+        integ._brdf = brdf
+        return integ
+
+    a, b = make(4), make(1)
+    for f in range(2):
+        a.integrate(scene, jax.random.fold_in(jax.random.key(9), f))
+        b.integrate(scene, jax.random.fold_in(jax.random.key(9), f))
+    np.testing.assert_allclose(np.asarray(a.output_hdr),
+                               np.asarray(b.output_hdr), rtol=1e-6)
+
+
+def test_resolve_groups_setter():
+    """Setter validates divisibility against n_bins and resets the cached
+    group partials when the partition changes (ADVICE round 2)."""
+    import pytest
+
+    from litbox_tpu.sim.tracers import RBTForwardIntegrator
+
+    integ = RBTForwardIntegrator(n_bins=64)
+    with pytest.raises(ValueError):
+        integ.resolve_groups = 3  # 64 % 3 != 0
+    with pytest.raises(ValueError):
+        integ.resolve_groups = 0
+    integ.resolve_groups = 4
+    integ._group_rate[(None, 0)] = "stale"
+    integ._group_sum = "stale"
+    integ._group_next = 7
+    integ.resolve_groups = 8  # partition changed -> caches reset
+    assert integ._group_rate == {} and integ._group_sum is None
+    assert integ._group_next == 0 and integ._group_display is None
