@@ -130,6 +130,15 @@ def _inject_flat(src_accum: tuple, flat_idx: jax.Array, energy: jax.Array) -> tu
     XLA's multi-channel window scatter is ~3x slower on v5e, and channel-last
     layout forces strided column gathers plus full-buffer restacks (~10 ms
     per 1M updates per channel is the HBM random read-modify-write limit).
+
+    This IS the production injection path (the TPU translation of the
+    reference's InterlockedAdd writes, ForwardMonteCarlo.compute:68-105).
+    A Pallas sorted-merge alternative (sort records by cell, stream the
+    target once, accumulate with one-hot matmuls) was built and priced
+    on-chip in round 3: 36.4 ms vs 12.4 ms here at 524K updates into a
+    (128, 384, 384) field on v5e — the record sort plus full-target
+    streaming costs ~3x more than XLA's native scatter, so it was deleted
+    (see NOTES_ROUND3.md).
     """
     out = []
     for c in range(3):

@@ -5,7 +5,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from litbox_tpu.ops.inject import inject_sorted
 from litbox_tpu.ops.resample import gather_bilinear_mxu
 from litbox_tpu.ops.rotate import (rotate_bins, rotate_bins_uniform,
                                    rotate_planar_sum, rotate_planar_sum_fused)
@@ -46,30 +45,6 @@ def test_rotate_bins_uniform_matches_traced():
     a = np.asarray(rotate_bins_uniform(imgs, tuple(angles)))
     b = np.asarray(rotate_bins(imgs, jnp.asarray(angles)))
     np.testing.assert_allclose(a, b, atol=1e-5)
-
-
-def test_inject_sorted_matches_scatter():
-    rng = np.random.default_rng(2)
-    d, s = 2, 64
-    total = d * s * s
-    planes = tuple(jnp.asarray(rng.uniform(0, 1, (d, s, s)).astype(np.float32))
-                   for _ in range(3))
-    n = 2000
-    idx = rng.integers(0, total, n).astype(np.int32)
-    idx[::5] = np.iinfo(np.int32).max
-    e = rng.uniform(0, 1, (n, 3)).astype(np.float32)
-
-    expected = []
-    for c in range(3):
-        flat = np.asarray(planes[c]).reshape(-1).copy()
-        np.add.at(flat, idx[idx != np.iinfo(np.int32).max],
-                  e[idx != np.iinfo(np.int32).max, c])
-        expected.append(flat)
-
-    out = inject_sorted(tuple(p.copy() for p in planes), jnp.asarray(idx), jnp.asarray(e))
-    for c in range(3):
-        np.testing.assert_allclose(np.asarray(out[c]).reshape(-1), expected[c],
-                                   rtol=2e-2, atol=2e-3)
 
 
 def test_rotate_bins_reduce_rows_matches_full():
