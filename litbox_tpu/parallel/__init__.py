@@ -1,5 +1,6 @@
 from .rbt_sharded import (
     sharded_rbt_resolve,
+    sharded_rbt_resolve_bins,
     sharded_rbt_trace_frame,
     zero_sources_sharded,
 )
@@ -10,5 +11,6 @@ __all__ = [
     "sharded_trace_frame",
     "sharded_rbt_trace_frame",
     "sharded_rbt_resolve",
+    "sharded_rbt_resolve_bins",
     "zero_sources_sharded",
 ]

@@ -201,6 +201,40 @@ def test_sharded_rbt_collective_traffic_is_lightmap_only(rbt_setup):
                 assert elems <= lightmap_elems, (m.group(1), line[:160])
 
 
+def test_sharded_rbt_resolve_bins_matches_full(rbt_setup):
+    """Bin-axis sharded resolve == per-device full resolve + pmean (VERDICT
+    round 2 next #5): psum_scatter the sources over bins, resolve D/n bins
+    per device, psum the (H, W, 3) partials — identical output by linearity,
+    1/n the resolve work per device."""
+    from litbox_tpu.parallel import (
+        sharded_rbt_resolve, sharded_rbt_resolve_bins, sharded_rbt_trace_frame,
+        zero_sources_sharded)
+
+    scene, gb, brdf, fields = rbt_setup
+    mesh = make_mesh(8, ensemble=2)
+    src = zero_sources_sharded(mesh, fields)
+    src, _ = sharded_rbt_trace_frame(
+        mesh, fields, src, gb, scene.lights, scene.field_textures, brdf,
+        jax.random.key(5), 1024, jnp.int32(1), max_bounces=1,
+        mc_direct=True, analytic_direct=False)
+    full = np.asarray(sharded_rbt_resolve(mesh, fields, src, W, W))
+    bins = np.asarray(sharded_rbt_resolve_bins(mesh, fields, src, W, W))
+    assert bins.shape == full.shape == (2, W, W, 3)
+    assert full.sum() > 0
+    # Exact ground truth: single-device resolve of the device-mean sources.
+    # (The pmean-of-resolves path itself deviates from this by ~6e-4 of
+    # accumulation-order rounding; the bin-sharded path resolves the mean
+    # sources directly and lands within ~3e-7.)
+    from litbox_tpu.sim import rbt as rbt_mod
+    host = np.asarray(src)
+    for e in range(2):
+        mean_src = tuple(jnp.asarray(host[e, :, c].mean(0)) for c in range(3))
+        gt = np.asarray(rbt_mod.resolve_raw(fields, mean_src, W, W))
+        scale = max(float(gt.max()), 1e-9)
+        assert np.abs(bins[e] - gt).max() / scale < 5e-6
+        assert np.abs(full[e] - gt).max() / scale < 5e-3
+
+
 def test_sharded_train_bn_stats_are_global():
     """Data-parallel BatchNorm statistics are GLOBAL-batch statistics under
     GSPMD jit (VERDICT round 2 weak #8): a step on a 4-wide data mesh
