@@ -28,6 +28,7 @@ the third run is timed around a single scalar fetch with RTT subtracted.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -35,7 +36,12 @@ import jax.numpy as jnp
 import numpy as np
 
 RAYS_PER_FRAME = 2_000_000
-BOUNCE_RAYS = 524_288
+# Russian-roulette bounce cull (production setting): 524,288 of the 2M
+# photons continue past wave 0 with energy rescaled — unbiased, disclosed.
+# `python bench.py --no-cull` flies EVERY photon's full bounce chain
+# (bounce_photons=0) so the headline rate is comparable to a tracer with no
+# cull at all; both figures are recorded in BENCH notes (VERDICT r2 next #4).
+BOUNCE_RAYS = 0 if "--no-cull" in sys.argv else 524_288
 FRAMES = 10
 BOUNCES = 2
 RESOLUTION = 256
@@ -103,8 +109,10 @@ def main():
     dt = max(time.perf_counter() - t0 - rtt, 1e-6)
 
     photons_per_sec = RAYS_PER_FRAME * FRAMES / dt
+    metric = ("photons_per_sec_per_chip_no_cull" if BOUNCE_RAYS == 0
+              else "photons_per_sec_per_chip")
     print(json.dumps({
-        "metric": "photons_per_sec_per_chip",
+        "metric": metric,
         "value": photons_per_sec,
         "unit": "photons/s",
         "vs_baseline": photons_per_sec / 100e6,

@@ -56,7 +56,10 @@ def pick(sim, which: TextureType, ai=None) -> np.ndarray:
         return gray(norm01(sim.variance_map))
     if which == TextureType.IMPORTANCE:
         if sim.importance_map is None:
-            return np.zeros((sim.height // 2, sim.width // 2, 3), np.float32)
+            # Pyramid generation is consumer-driven: attach as a consumer
+            # and compute it on demand (engine keeps it fresh afterwards).
+            if sim.refresh_importance_map() is None:
+                return np.zeros((sim.height // 2, sim.width // 2, 3), np.float32)
         return gray(norm01(sim.importance_map[0]))
     if which == TextureType.FORWARD_ACCUMULATION:
         # Raw pre-HDR accumulated deposits of tracer A

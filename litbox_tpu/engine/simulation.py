@@ -89,6 +89,11 @@ class Simulation:
         self._variance_map = None
         self._outputs_stale = False
         self.importance_map = None
+        # Consumer-driven pyramid generation: stays False until something
+        # that actually reads the pyramid attaches (diag picker IMPORTANCE
+        # view, a guided-sampling experiment) — see
+        # _should_update_importance_map.
+        self.wants_importance_map = False
         self.photon_writes_per_second = 0.0
         self._last_perf = None
         self.on_step: list[Callable[[int], None]] = []
@@ -215,7 +220,19 @@ class Simulation:
         return int(max(1, (b * act).max()))
 
     def _should_update_importance_map(self) -> bool:
-        """Refresh schedule 1/10/100 (Simulation.cs:368-373).
+        """Refresh schedule 1/10/100 (Simulation.cs:368-373), gated on an
+        attached consumer.
+
+        CONSUMER GATING (deviation, round-3): nothing in the production
+        engine reads the pyramid — the reference's guided scatter is
+        commented out (BackwardMonteCarlo.compute:98-99) and ours is a
+        library sampler (sim.materials.scatter_importance_guided, unit-
+        tested) with the same no-live-consumer status. Generating it on the
+        schedule anyway costs TWO forward resolves per refresh (the pyramid
+        reads both tracers' early radiance), so it now runs only after a
+        consumer declares itself by setting `wants_importance_map` (the
+        diagnostic picker's IMPORTANCE view does; see
+        refresh_importance_map for the on-demand path).
 
         Deviation from the reference: the map is also generated on the very
         first iteration. The reference checks after the counter increment so
@@ -224,6 +241,8 @@ class Simulation:
         ImportanceMap null guard); generating at frame 1 removes that wart
         without changing converged results.
         """
+        if not self.wants_importance_map:
+            return False
         i = self.iterations_since_clear
         if i <= 1:
             # Realtime resets the counter every frame, so this branch would
@@ -234,6 +253,22 @@ class Simulation:
         if i < 100:
             return i % 10 == 0
         return i % 100 == 0
+
+    def refresh_importance_map(self):
+        """On-demand pyramid for a consumer attaching mid-run (diag picker).
+
+        Uses the same radiance sources as the scheduled refresh (the hybrid
+        tracer's forward early radiance; the forward-only strategy has no
+        early radiance, so its exact outputs stand in). Also flips
+        wants_importance_map so subsequent frames keep the map fresh on the
+        reference's 1/10/100 schedule."""
+        self.wants_importance_map = True
+        if self._tracers is None:
+            return None
+        rads = [t.early_radiance if t.early_radiance is not None
+                else t.tracer_output for t in self._tracers]
+        self.importance_map = importance_pyramid(rads[0], rads[1])
+        return self.importance_map
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -275,8 +310,11 @@ class Simulation:
         for t in self._tracers:
             t.begin_trace(self._scene, self._next_key())
 
-        if (all(t.early_radiance is not None for t in self._tracers)
-                and self._should_update_importance_map()):
+        # Gate check FIRST: evaluating early_radiance on the hybrid tracer
+        # builds a full forward resolve, which is exactly the cost the
+        # consumer gating exists to avoid.
+        if (self._should_update_importance_map()
+                and all(t.early_radiance is not None for t in self._tracers)):
             self.importance_map = importance_pyramid(
                 self._tracers[0].early_radiance, self._tracers[1].early_radiance)
 

