@@ -22,9 +22,14 @@ from __future__ import annotations
 import numpy as np
 
 
-def export_torch_state(variables: dict, unet_size: int = 5) -> dict:
+def export_torch_state(variables: dict, unet_size: int = 5,
+                       global_residual: bool = False) -> dict:
     """flax {params, batch_stats} -> reference-layout torch state_dict
-    (numpy arrays; pass through torch.save for a .pth)."""
+    (numpy arrays; pass through torch.save for a .pth).
+
+    global_residual nets name the final conv `conv_out` directly (a plain
+    nn.Conv in unet.LitboxDenoiserNet) instead of the Conv3x3 wrapper's
+    `conv_out/Conv_0`."""
     params = variables["params"]
     stats = variables["batch_stats"]
     out: dict = {}
@@ -67,7 +72,7 @@ def export_torch_state(variables: dict, unet_size: int = 5) -> dict:
         conv(f"dec{i}/Conv_0", f"unet_decoders.{i}.0")
         resblock(f"skip{i}a", f"unet_skipconns.{i}.0", has_shortcut=True)
         resblock(f"skip{i}b", f"unet_skipconns.{i}.1", has_shortcut=False)
-    conv("conv_out/Conv_0", "conv_out")
+    conv("conv_out" if global_residual else "conv_out/Conv_0", "conv_out")
     return out
 
 
@@ -180,22 +185,24 @@ def export_torchscript(variables: dict, path: str, unet_size: int = 5,
 
 def export_onnx(variables: dict, path: str, unet_size: int = 5,
                 initial_features: int = 32, padding_mode: str = "reflect",
-                example_size: int = 64):
-    """ONNX export with dynamic batch (reference:
-    train_litbox_denoiser.py:276-281). Requires the `onnx` package, which is
-    not present in this image — raises a clear error if unavailable."""
-    try:
-        import onnx  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            "ONNX export needs the `onnx` package; use save_torch_checkpoint "
-            "or export_torchscript here and convert offline.") from e
-    import torch
+                use_sigmoid: bool = False, global_residual: bool = False):
+    """ONNX artifact (reference: train_litbox_denoiser.py:276-281 exports
+    `denoiser.onnx` with dynamic batch).
 
-    net = build_torch_module(variables, unet_size, initial_features, padding_mode)
-    example = torch.zeros(1, 1, example_size, example_size)
-    torch.onnx.export(net, example, path, input_names=["input"],
-                      output_names=["output"],
-                      dynamic_axes={"input": {0: "batch"}, "output": {0: "batch"}},
-                      dynamo=False)
-    return path
+    No `onnx` package exists in this image, so the protobuf is emitted
+    directly by nn.onnx_writer (the UNet uses only Conv/BatchNormalization/
+    Relu/MaxPool/Concat/DepthToSpace/Pad/Add/Sigmoid, all stable at opset
+    13). Input/output are NCHW with symbolic batch/height/width dims —
+    strictly more dynamic than the reference's batch-only dynamic axes.
+    tests/test_onnx_export.py re-decodes and EXECUTES the emitted file
+    against the flax network."""
+    del initial_features  # implied by the weight shapes
+    from .onnx_writer import write_onnx_unet
+
+    state = export_torch_state(variables, unet_size,
+                               global_residual=global_residual)
+    in_channels = state["conv_in.0.weight"].shape[1]
+    return write_onnx_unet(state, path, unet_size=unet_size,
+                           padding_mode=padding_mode, use_sigmoid=use_sigmoid,
+                           in_channels=in_channels,
+                           global_residual=global_residual)
