@@ -85,16 +85,23 @@ def main():
     from litbox_tpu.sim import rbt
     from litbox_tpu.sim.oracle import to_hdr
 
+    flag_values = {sys.argv[sys.argv.index(f) + 1]
+                   for f in ("--photons", "--bounce", "--bins", "--frames",
+                             "--groups", "--pad", "--unet", "--feats")
+                   if f in sys.argv}
     ckpt = next((a for a in sys.argv[1:] if not a.startswith("--")
-                 and not a.lstrip("-").isdigit()), None)
+                 and a not in flag_values), None)
     use_bf16 = "--bf16" in sys.argv
 
     scene, gb, brdf, fields = build()
-    # --rgb / --pad zeros: bench the realtime display variant (one RGB UNet
-    # pass, zero padding) with random weights before a checkpoint exists.
+    # --rgb / --pad zeros / --unet / --feats: bench the realtime display
+    # variant (one RGB UNet pass, zero padding, sized to the display budget)
+    # with random weights before a checkpoint exists.
     tcfg = (load_train_config(ckpt) if ckpt
             else TrainConfig(transform=TransformConfig_default(),
                              rgb="--rgb" in sys.argv,
+                             unet_size=arg("--unet", 5),
+                             initial_features=arg("--feats", 32),
                              padding_mode=arg("--pad", "reflect", str)))
     trainer = Trainer(tcfg)
     if ckpt:

@@ -57,6 +57,7 @@ for n, i in enumerate(ids):
                          rays_per_frame=rays, measurement_interval=0,
                          seed=100_000 * (k + 1) + int(i))
         sim.set_scene(scene)
+        sim._validate_tracers()  # tracers build lazily; configure pre-step
         for t in (sim.tracer_a, sim.tracer_b):
             t.forward.analytic_direct = False
             t.forward.jitter_bins = True  # single frame -> single phase
