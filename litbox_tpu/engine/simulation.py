@@ -370,7 +370,11 @@ class Simulation:
         return self.simulation_output_hdr
 
     def update_performance_metrics(self):
-        """MWrites/s counter (Simulation.cs:440-461, ITracer perf metrics)."""
+        """MWrites/s counter (Simulation.cs:440-461, ITracer perf metrics).
+
+        Units follow the engine's write_count semantics (deposits for
+        oracle, photons for RBT — see ForwardIntegrator.write_count):
+        comparable across runs of one engine, not across engines."""
         now = time.monotonic()
         total_writes = sum(t.forward_write_count for t in self._tracers)
         if self._last_perf is not None:

@@ -16,7 +16,7 @@ reference's evaluate() path: sRGB -> linear pow(2.2), per-channel mono
 passes through the UNet in overlapping 256 tiles, re-encode, measure in
 8-bit PNG space (the space the goldens exist in).
 
-Usage: python runs/eval_goldens.py [checkpoint.npz] [--report GOLDEN_EVAL.md]
+Usage: python runs/eval_goldens.py [checkpoint.npz] [--report GOLDEN_EVAL.md] [--bf16]
 """
 from __future__ import annotations
 
@@ -74,14 +74,32 @@ def main():
         args = args[:i] + args[i + 2:]
     ckpt = next((a for a in args if not a.startswith("--")), None)
 
+    use_bf16 = "--bf16" in args
     run_mono = None
     if ckpt:
+        import jax
+        import jax.numpy as jnp
+
         from litbox_tpu.nn.infer import infer_large
         from litbox_tpu.nn.train import Trainer, load_train_config
 
         trainer = Trainer(load_train_config(ckpt))
         trainer.load(ckpt)
-        eval_fn = trainer.eval_fn()
+        if use_bf16:
+            # The production 1080p display path runs the net in bf16
+            # (runs/bench_1080p.py --bf16); this measures what that costs in
+            # quality (VERDICT r2 weak #2: unmeasured anywhere).
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+            trainer.params = cast(trainer.params)
+            trainer.batch_stats = cast(trainer.batch_stats)
+        inner_fn = trainer.eval_fn()
+        if use_bf16:
+            eval_fn = lambda x: inner_fn(
+                jnp.asarray(x).astype(jnp.bfloat16)).astype(jnp.float32)
+        else:
+            eval_fn = inner_fn
 
         def denoise8(img8: np.ndarray) -> np.ndarray:
             lin = (img8 / 255.0) ** 2.2
@@ -122,7 +140,8 @@ def main():
             f.write("PNG tiers only (EXR goldens are git-LFS stubs in the "
                     "snapshot). Metrics in 8-bit tone-mapped space.\n\n")
             if ckpt:
-                f.write(f"Checkpoint: `{ckpt}`\n\n")
+                f.write(f"Checkpoint: `{ckpt}`"
+                        + (" (bf16 inference)" if use_bf16 else "") + "\n\n")
             cols = list(rows[0].keys())
             f.write("| " + " | ".join(cols) + " |\n")
             f.write("|" + "---|" * len(cols) + "\n")
