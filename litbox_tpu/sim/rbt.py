@@ -175,9 +175,9 @@ def analytic_light_mask(lights, override_bounces=None) -> jax.Array:
             & (_effective_bounces(lights, override_bounces) != 0))
 
 
-def _analytic_point_sources(src_accum: jax.Array, lights, light_mask,
-                            fields: RotatedFields, pixel_count: float):
-    """Noise-free direct-light injection for point lights.
+def _analytic_point_deposits(lights, light_mask, fields: RotatedFields,
+                             pixel_count: float):
+    """Noise-free direct-light deposit stream for point lights.
 
     A point light emits uniformly over a disk with isotropic directions, so
     its EXPECTED per-bin wave-0 source field is deterministic:
@@ -185,6 +185,12 @@ def _analytic_point_sources(src_accum: jax.Array, lights, light_mask,
     rotated center. Replacing the wave-0 Monte Carlo injection with this
     exact mean makes direct lighting zero-variance and cuts the per-photon
     scatter traffic roughly in half.
+
+    Returns (flat_idx, values): rbt_trace_frame concatenates every phase's
+    deposit stream into ONE _inject_flat call — each scatter into the
+    (D, S, S) planes costs ~3.5-5 ms at S=640 nearly independent of update
+    count (full-target bound, /tmp prof r3), so one inject per frame, not
+    one per phase.
     """
     d_bins, s = fields.n_bins, fields.size
     capacity = lights.capacity
@@ -224,8 +230,7 @@ def _analytic_point_sources(src_accum: jax.Array, lights, light_mask,
         all_flat.append(flat.reshape(-1))
         all_vals.append(jnp.broadcast_to(vals, (d_bins, stamp, stamp, 3)).reshape(-1, 3))
 
-    return _inject_flat(src_accum, jnp.concatenate(all_flat),
-                        jnp.concatenate(all_vals))
+    return jnp.concatenate(all_flat), jnp.concatenate(all_vals)
 
 
 def collimated_light_mask(lights, override_bounces=None) -> jax.Array:
@@ -447,11 +452,12 @@ def _flight_stratified(fields: RotatedFields, pos: jax.Array, live: jax.Array,
     return p_hit, t_esc, found
 
 
-def _mc_point_hist_sources(src_accum: tuple, lights, fields: RotatedFields,
-                           n_photons: int, key, override_bounces,
-                           pixel_count: float) -> tuple[tuple, int]:
-    """Monte-Carlo direct injection for all-point-light scenes, aggregated
-    as a per-(bin, light) stamp histogram instead of a 2M-wide scatter.
+def _mc_point_hist_deposits(lights, fields: RotatedFields,
+                            n_photons: int, key, override_bounces,
+                            pixel_count: float):
+    """Monte-Carlo direct deposit stream for all-point-light scenes,
+    aggregated as a per-(bin, light) stamp histogram instead of a 2M-wide
+    scatter. Returns (flat_idx, values, n_emitted).
 
     Each of the n photons samples its disk position and direction bin
     individually (directions bin-stratified, see emit_point_stratified);
@@ -524,19 +530,18 @@ def _mc_point_hist_sources(src_accum: tuple, lights, fields: RotatedFields,
     gx = axl[:, :, None, None] + ox[None, None, None, :]
     flat = ((jnp.arange(d_bins, dtype=jnp.int32)[:, None, None, None] * s + gy)
             * s + gx)
-    return (_inject_flat(src_accum, flat.reshape(-1), vals.reshape(-1, 3)),
-            n_emitted)
+    return flat.reshape(-1), vals.reshape(-1, 3), n_emitted
 
 
-def _mc_scatter_sources(src_accum: tuple, lights, field_textures,
-                        fields: RotatedFields, gbuffer: GBuffer,
-                        n_photons: int, key, override_bounces,
-                        light_kinds, exclude_analytic: bool,
-                        exclude_collimated: bool = False) -> tuple:
-    """Generic Monte-Carlo direct injection: emit n photons across all
-    lights and flat-scatter their energy at their rotated emission cells
-    (the TPU expression of WritePhoton's InterlockedAdd,
-    ForwardMonteCarlo.compute:68-86)."""
+def _mc_scatter_deposits(lights, field_textures,
+                         fields: RotatedFields, gbuffer: GBuffer,
+                         n_photons: int, key, override_bounces,
+                         light_kinds, exclude_analytic: bool,
+                         exclude_collimated: bool = False):
+    """Generic Monte-Carlo direct deposit stream: emit n photons across all
+    lights; their energy lands at their rotated emission cells (the TPU
+    expression of WritePhoton's InterlockedAdd,
+    ForwardMonteCarlo.compute:68-86). Returns (flat_idx, values)."""
     height, width = gbuffer.transmissibility.shape
     d_bins, s = fields.n_bins, fields.size
     bin_width = 2 * jnp.pi / d_bins
@@ -562,20 +567,22 @@ def _mc_scatter_sources(src_accum: tuple, lights, field_textures,
     ix = jnp.clip(jnp.floor(xr).astype(jnp.int32), 0, s - 1)
     iy = jnp.clip(jnp.floor(yr).astype(jnp.int32), 0, s - 1)
     flat = (b * s + iy) * s + ix
-    return _inject_flat(src_accum, flat, jnp.where(inject[:, None], energy, 0.0))
+    return flat, jnp.where(inject[:, None], energy, 0.0)
 
 
-def _bounce_chains(src_accum: tuple, fields: RotatedFields, gbuffer: GBuffer,
-                   lights, field_textures, brdf_lut, key, k_photons: int,
-                   override_bounces, max_bounces: int, enable_brdf: bool,
-                   light_kinds, stratified: bool) -> tuple:
-    """Trace k bounce chains and inject their wave >= 1 deposits.
+def _bounce_chain_deposits(fields: RotatedFields, gbuffer: GBuffer,
+                           lights, field_textures, brdf_lut, key, k_photons: int,
+                           override_bounces, max_bounces: int, enable_brdf: bool,
+                           light_kinds, stratified: bool):
+    """Trace k bounce chains; return their wave >= 1 deposit stream
+    (flat_idx, values) — all waves concatenated so the frame pays one
+    scatter, not one per wave.
 
     The chains are the Russian-roulette continuation of the frame's photon
     batch: a fresh emission of k photons is identical in distribution to
     keeping a uniform k-subset of the n direct photons (photons are iid),
     and emit() normalizes per-photon energy by k, which IS the n/k
-    roulette rescale. Direct (wave-0) deposits are NOT injected here —
+    roulette rescale. Direct (wave-0) deposits are NOT produced here —
     the direct phase covered all n photons.
     """
     height, width = gbuffer.transmissibility.shape
@@ -612,6 +619,7 @@ def _bounce_chains(src_accum: tuple, fields: RotatedFields, gbuffer: GBuffer,
     m = pos.shape[0]
     dead = jnp.zeros(m, bool)
     on_tpu = jax.default_backend() == "tpu"
+    all_flat, all_vals = [], []
 
     for wave in range(max_bounces - 1):
         key, k_tp, k_scatter = jax.random.split(key, 3)
@@ -651,7 +659,7 @@ def _bounce_chains(src_accum: tuple, fields: RotatedFields, gbuffer: GBuffer,
         pos = jnp.where(bounced[:, None], p_hit + pushback + new_dir, pos)
         direction = jnp.where(bounced[:, None], new_dir, direction)
 
-        # --- inject the bounce deposit at the new position ---
+        # --- record the bounce deposit at the new position ---
         live_next = (~dead) & (wave + 1 < bounces)
         theta = jnp.arctan2(direction[:, 1], direction[:, 0])
         b = jnp.round(theta / bin_width - fields.phase).astype(jnp.int32) % d_bins
@@ -659,10 +667,9 @@ def _bounce_chains(src_accum: tuple, fields: RotatedFields, gbuffer: GBuffer,
         xr, yr = _rotated_coords(fields, pos, jnp.cos(ang), jnp.sin(ang))
         ix = jnp.clip(jnp.floor(xr).astype(jnp.int32), 0, s - 1)
         iy = jnp.clip(jnp.floor(yr).astype(jnp.int32), 0, s - 1)
-        src_accum = _inject_flat(
-            src_accum, (b * s + iy) * s + ix,
-            jnp.where(live_next[:, None], energy, 0.0))
-    return src_accum
+        all_flat.append((b * s + iy) * s + ix)
+        all_vals.append(jnp.where(live_next[:, None], energy, 0.0))
+    return jnp.concatenate(all_flat), jnp.concatenate(all_vals)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -711,29 +718,46 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
     k_direct, k_bounce = jax.random.split(key)
     n_emitted = n_photons
 
+    # Every phase returns a deposit stream; the frame pays ONE scatter.
+    # A flat scatter into the 3 x (D, S, S) planes costs ~3.5-5 ms at S=640
+    # nearly INDEPENDENT of update count (full-target bound), so per-phase
+    # injects were ~60% of the realtime trace (round-3 prof: 12.7 ms trace
+    # -> two injects ~7 ms of it at the 1080p shape).
+    all_flat, all_vals = [], []
+
     if analytic_direct:
         light_mask = analytic_light_mask(lights, override_bounces)
-        src_accum = _analytic_point_sources(src_accum, lights, light_mask,
-                                            fields, float(width * height))
+        f, v = _analytic_point_deposits(lights, light_mask, fields,
+                                        float(width * height))
+        all_flat.append(f)
+        all_vals.append(v)
     if mc_direct:
         if hist_direct:
-            src_accum, n_emitted = _mc_point_hist_sources(
-                src_accum, lights, fields, n_photons, k_direct,
+            f, v, n_emitted = _mc_point_hist_deposits(
+                lights, fields, n_photons, k_direct,
                 override_bounces, float(width * height))
         else:
-            src_accum = _mc_scatter_sources(
-                src_accum, lights, field_textures, fields, gbuffer,
+            f, v = _mc_scatter_deposits(
+                lights, field_textures, fields, gbuffer,
                 n_photons, k_direct, override_bounces, light_kinds,
                 exclude_analytic=analytic_direct,
                 exclude_collimated=exact_collimated)
+        all_flat.append(f)
+        all_vals.append(v)
 
     if max_bounces >= 2:
         k = (bounce_photons if 0 < bounce_photons < n_photons else n_photons)
         stratified = hist_direct or light_kinds == (LIGHT_POINT,)
-        src_accum = _bounce_chains(
-            src_accum, fields, gbuffer, lights, field_textures, brdf_lut,
+        f, v = _bounce_chain_deposits(
+            fields, gbuffer, lights, field_textures, brdf_lut,
             k_bounce, k, override_bounces, max_bounces, enable_brdf,
             light_kinds, stratified)
+        all_flat.append(f)
+        all_vals.append(v)
+
+    if all_flat:
+        src_accum = _inject_flat(src_accum, jnp.concatenate(all_flat),
+                                 jnp.concatenate(all_vals))
     return src_accum, jnp.int32(n_emitted)
 
 

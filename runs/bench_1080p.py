@@ -21,6 +21,7 @@ multi-hundred-MB payload (HTTP 413, runs/bench1080_f32.log round 1).
 Usage: python runs/bench_1080p.py [checkpoint.npz] [--bf16] [--photons N]
          [--bounce N] [--bins D] [--frames N]
 """
+import functools
 import sys
 import time
 
@@ -87,7 +88,7 @@ def main():
 
     flag_values = {sys.argv[sys.argv.index(f) + 1]
                    for f in ("--photons", "--bounce", "--bins", "--frames",
-                             "--groups", "--pad", "--unet", "--feats")
+                             "--groups", "--pad", "--unet", "--feats", "--reps")
                    if f in sys.argv}
     ckpt = next((a for a in sys.argv[1:] if not a.startswith("--")
                  and a not in flag_values), None)
@@ -192,22 +193,70 @@ def main():
     # grouped resolve -> display each frame). Single-call RTT subtraction
     # has ~5 ms of tunnel noise; unrolling amortizes it. lax.scan is not an
     # option (a UNet inside scan compiled 20+ minutes round 1).
-    FUSED_REPS = 4
+    FUSED_REPS = arg("--reps", 4)
+
+    # --skip-trace / --skip-resolve / --skip-display: drop a stage from the
+    # fused loop to attribute the fused-vs-stage-sum gap.
+    SKIP_TRACE = "--skip-trace" in sys.argv
+    SKIP_RESOLVE = "--skip-resolve" in sys.argv
+    SKIP_DISPLAY = "--skip-display" in sys.argv
 
     @jax.jit
     def fused_frames(fields, src, cache, gb, lights, ftex, brdf, key,
                      model_vars):
         acc = jnp.float32(0.0)
+        raw = jnp.zeros((SIM_H, SIM_W, 3))
         for r in range(FUSED_REPS):
-            src = trace(fields, src, gb, lights, ftex, brdf,
-                        jax.random.fold_in(key, r))
-            if GROUPS > 1:
+            if not SKIP_TRACE:
+                src = trace(fields, src, gb, lights, ftex, brdf,
+                            jax.random.fold_in(key, r))
+            if SKIP_RESOLVE:
+                raw = raw + src[0][0, :SIM_H, :SIM_W, None] * 1e-30
+            elif GROUPS > 1:
                 cache, raw = resolve_group(fields, src, cache, jnp.int32(r))
             else:
                 raw = resolve(fields, src)
-            acc = acc + display(raw, jnp.float32(r + 1.0), gb,
-                                model_vars)[0, 0, 0]
+            if SKIP_DISPLAY:
+                acc = acc + raw[0, 0, 0]
+            else:
+                acc = acc + display(raw, jnp.float32(r + 1.0), gb,
+                                    model_vars)[0, 0, 0]
         return acc
+
+    # PIPELINED: the production realtime loop — ONE jitted frame-step
+    # (trace -> grouped resolve -> display), dispatched once per frame with
+    # NO host sync between frames (Simulation.step + lazy display read), a
+    # single scalar fetch at the end. Dispatches queue through the async
+    # tunnel and execute back-to-back on device, so XLA's cross-dispatch
+    # pipelining matches lax.scan's (the unrolled FUSED program loses ~2x on
+    # the trace stage to scan — see bench1080_r3_skip*.log) while donation
+    # keeps src/cache in place like a scan carry.
+    @functools.partial(jax.jit, donate_argnames=("src", "cache"))
+    def frame_step(fields, src, cache, gb, lights, ftex, brdf, key, r,
+                   model_vars):
+        src = trace(fields, src, gb, lights, ftex, brdf, key)
+        if GROUPS > 1:
+            cache, raw = resolve_group(fields, src, cache, r)
+        else:
+            raw = resolve(fields, src)
+        pix = display(raw, (r + 1).astype(jnp.float32), gb, model_vars)[0, 0, 0]
+        return src, cache, pix
+
+    def pipelined_frames(n_frames: int) -> float:
+        src = rbt.zero_sources(fields)
+        cache = jnp.zeros((GROUPS, SIM_H, SIM_W, 3))
+        key = jax.random.key(7)
+        # warm (compile) + drain
+        src, cache, pix = frame_step(fields, src, cache, gb, lights, ftex,
+                                     brdf, key, jnp.int32(0), variables)
+        float(pix)
+        t0 = time.perf_counter()
+        for r in range(1, n_frames + 1):
+            src, cache, pix = frame_step(
+                fields, src, cache, gb, lights, ftex, brdf,
+                jax.random.fold_in(key, r), jnp.int32(r), variables)
+        float(pix)  # the only host sync: forces the whole dispatch chain
+        return (time.perf_counter() - t0 - rtt) / n_frames
 
     rtt = measure_rtt()
     print(f"rtt {rtt*1000:.1f} ms  photons {PHOTONS} + {BOUNCE_PHOTONS} bounce, "
@@ -238,9 +287,12 @@ def main():
     t_fused = time_fn("FUSED  ", fused_frames, fields, src0, cache0, gb,
                       lights, ftex, brdf, key, variables,
                       per_frame=FUSED_REPS)
-    fps = 1.0 / t_fused
-    print(f"1080p fused: {t_fused*1000:.2f} ms/frame = {fps:.1f} FPS "
-          f"(target 60; stages {t_trace*1e3:.1f}+{t_resolve*1e3:.1f}+{t_display*1e3:.1f})")
+    t_pipe = min(pipelined_frames(30) for _ in range(2))
+    print(f"PIPELINE: {t_pipe*1000:7.2f} ms/frame", flush=True)
+    fps = 1.0 / t_pipe
+    print(f"1080p pipelined: {t_pipe*1000:.2f} ms/frame = {fps:.1f} FPS "
+          f"(target 60; stages {t_trace*1e3:.1f}+{t_resolve*1e3:.1f}+{t_display*1e3:.1f}; "
+          f"unrolled fused {t_fused*1000:.2f} ms)")
 
 
 def TransformConfig_default():
