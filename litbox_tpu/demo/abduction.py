@@ -141,19 +141,26 @@ def build_game_scene(w: int, params: dict):
                      color=(0.25 - 0.1 * k, 0.3 - 0.12 * k, 0.2 - 0.08 * k, 1),
                      log_density=-0.15 + 0.15 * k,
                      texture=_hills_texture(256, k + 1, 0.55 - 0.05 * k, 0.35))
-    # UFO body light (+ tilt-following beam when tractoring).
+    # UFO body light (+ tilt-following beam when tractoring); the saucer
+    # hull is a dense ellipse just above the lamp, rim-lit from below.
     b.add_point_light((sx(ux), sy(uy)), radius=w * 0.02,
                       color=(0.6, 1.0, 0.7), intensity=1.3, bounces=2)
+    b.add_ellipse((sx(ux), sy(uy) + w * 0.028), (w * 0.045, w * 0.012),
+                  rotation=_m.radians(uang), color=(0.5, 0.55, 0.5, 1.0),
+                  log_density=0.0)
     if params["beam_on"]:
         b.add_spot_light((sx(ux), sy(uy) - w * 0.02), (w * 0.04, w * 0.01),
                          rotation=_m.radians(uang), color=(0.7, 1.0, 0.6),
                          intensity=2.2, bounces=2)
-    # Captured targets glow as they rise.
+    # Targets: visible bodies on the ground / rising in the beam; captured
+    # ones glow as they rise.
     for tx, ty, captured in params["targets"][:2]:
+        b.add_ellipse((sx(tx), sy(ty) + w * 0.008), (w * 0.012, w * 0.01),
+                      color=(1.0, 0.75, 0.55, 1.0), log_density=-0.2)
         if captured:
             b.add_point_light((sx(tx), sy(ty)), radius=w * 0.012,
-                              color=(1.0, 0.9, 0.5), intensity=0.7, bounces=1)
-    return b.build(max_lights=6, max_shapes=4)
+                              color=(1.0, 0.9, 0.5), intensity=1.4, bounces=1)
+    return b.build(max_lights=6, max_shapes=8)
 
 
 def play_sequence(out_dir: str, inputs=None, width: int = 128,
