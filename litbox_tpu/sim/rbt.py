@@ -872,7 +872,7 @@ def resolve_raw(fields: RotatedFields, src_accum: jax.Array,
     a bounded angular lag when animating (tracers.RBTForwardIntegrator)."""
     s, d = fields.size, fields.n_bins
     bins = range(group, d, n_groups)
-    if jax.default_backend() == "tpu" and s % 128 == 0 and len(bins) >= 16:
+    if jax.default_backend() == "tpu" and s % 128 == 0 and len(bins) >= 8:
         from ..ops.attnscan import attenuation_scan_rows
         from ..ops.rotate import rotate_planar_sum
 

@@ -83,6 +83,27 @@ def main():
         assert mad < 0.01 and abs(mass - 1) < 0.02, (mad, mass)
     print("OK: TPU resolve matches CPU reference (static + traced phase)")
 
+    # Grouped partition on-chip at production bin count: sum of the K group
+    # resolves == the full resolve for every K the display path may use,
+    # including K=16 (8 bins/group — the relaxed fast-path gate).
+    fields = rbt.precompute_rotated_fields(gb, n_bins=128)
+    src = rbt.zero_sources(fields)
+    src, _ = rbt.rbt_trace_frame(
+        fields, src, gb, scene.lights, scene.field_textures, brdf, key,
+        32768, jnp.int32(-1), max_bounces=2, bounce_photons=8192,
+        mc_direct=True, analytic_direct=False, enable_brdf=False,
+        light_kinds=(1,), hist_direct=True)
+    full = np.asarray(rbt.resolve_raw(fields, src, H, W))
+    scale = max(float(np.abs(full).max()), 1e-6)
+    for k in (4, 8, 16):
+        parts = sum(np.asarray(rbt.resolve_raw(fields, src, H, W,
+                                               group=t, n_groups=k))
+                    for t in range(k))
+        mad = float(np.abs(parts - full).mean()) / scale
+        print(f"groups={k}: rel mean-abs-diff vs full {mad:.7f}", flush=True)
+        assert mad < 1e-4, (k, mad)
+    print("OK: grouped partition exact on-chip (K=4/8/16, D=128)")
+
 
 if __name__ == "__main__":
     main()
