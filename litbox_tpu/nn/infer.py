@@ -79,12 +79,20 @@ def infer_large(run_mono, img: np.ndarray, tile: int = 256, overlap: int = 32,
         res = np.asarray(run_mono(jnp.asarray(blocks)))[:len(group)]
         for (y, x, ci), r in zip(group, res):
             sl = slice(None) if ci is None else ci
-            out[y + inner:y + tile - inner, x + inner:x + tile - inner, sl] += (
-                r[inner:tile - inner, inner:tile - inner,
+            # Inner-crop each tile EXCEPT on sides touching the image
+            # boundary: a boundary tile must keep its edge rows/cols or the
+            # image rim is never written (a 256^2 single-tile input would
+            # get a 16 px zero ring = 23% of its pixels — this depressed
+            # every 256^2 held-out metric in round 2).
+            iy0 = inner if y > 0 else 0
+            iy1 = inner if y + tile < h else 0
+            ix0 = inner if x > 0 else 0
+            ix1 = inner if x + tile < w else 0
+            out[y + iy0:y + tile - iy1, x + ix0:x + tile - ix1, sl] += (
+                r[iy0:tile - iy1, ix0:tile - ix1,
                   slice(None) if ci is None else 0])
-        for (y, x, ci), _ in zip(group, res):
             if ci is None or ci == 0:
-                counts[y + inner:y + tile - inner, x + inner:x + tile - inner] += 1
+                counts[y + iy0:y + tile - iy1, x + ix0:x + tile - ix1] += 1
 
     return out / np.maximum(counts, 1.0)
 

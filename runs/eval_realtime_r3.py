@@ -1,0 +1,103 @@
+"""REALTIME_EVAL: production-regime denoiser evaluation from dataset files.
+
+The denoiser's production use is cleaning REALTIME frames (one frame, low
+rays, single jitter phase — AIAccelerator.cs:57-84 runs the model every
+step). runs/gen_realtime_inputs.py renders exactly that regime for every
+dataset scene as InputRT{0,1}_Radiance_{A,B}_#####.exr (8192 / 32768 rays).
+This script measures noisy-vs-reference and denoised-vs-reference PSNR on
+the held-out scenes (k % 8 == 7, never trained on) for both tiers and
+writes REALTIME_EVAL.md.
+
+File-based on purpose: it needs no simulation, so with --cpu it runs
+concurrently with TPU training (one TPU client at a time in this
+environment).
+
+Usage: python runs/eval_realtime_r3.py CKPT [--cpu] [--report REALTIME_EVAL.md]
+       [--dataset DIR] [--all-scenes]
+"""
+import glob
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from litbox_tpu.io.images import read_image_linear
+from litbox_tpu.nn.infer import infer_large
+from litbox_tpu.nn.train import Trainer, load_train_config
+
+if "--dataset" in sys.argv:
+    dataset_dir = sys.argv[sys.argv.index("--dataset") + 1]
+else:
+    dataset_dir = sorted(glob.glob("/root/repo/runs/dataset_r2/*"))[-1]
+flag_vals = {sys.argv[sys.argv.index(f) + 1]
+             for f in ("--dataset", "--report") if f in sys.argv}
+ckpt = next(a for a in sys.argv[1:]
+            if not a.startswith("--") and a not in flag_vals)
+report = (sys.argv[sys.argv.index("--report") + 1]
+          if "--report" in sys.argv else None)
+
+refs = sorted(glob.glob(os.path.join(dataset_dir, "Output_Reference_*.exr")))
+ids = [p.split("_")[-1].split(".")[0] for p in refs]
+held = ids if "--all-scenes" in sys.argv else [
+    i for k, i in enumerate(ids) if k % 8 == 7]
+print(f"dataset {os.path.basename(dataset_dir)}: {len(ids)} scenes, "
+      f"{len(held)} evaluated; ckpt {ckpt}", flush=True)
+
+trainer = Trainer(load_train_config(ckpt))
+trainer.load(ckpt)
+fn = trainer.eval_fn()
+
+TIERS = (("InputRT0", 8192), ("InputRT1", 32768))
+rows = []
+for prefix, rays in TIERS:
+    base_all, den_all = [], []
+    for i in held:
+        ref = read_image_linear(
+            os.path.join(dataset_dir, f"Output_Reference_{i}.exr"))
+        s = 0.18 / max(float(ref.mean()), 1e-6)
+        ref = ref * s
+        peak = max(float(ref.max()), 1e-6)
+        for tracer in ("A", "B"):
+            p = os.path.join(dataset_dir, f"{prefix}_Radiance_{tracer}_{i}.exr")
+            if not os.path.exists(p):
+                continue
+            noisy = read_image_linear(p) * s
+            out = infer_large(fn, noisy.astype(np.float32),
+                              rgb=trainer.cfg.rgb)
+            psnr = lambda x: 10 * np.log10(
+                peak**2 / max(float(((x - ref) ** 2).mean()), 1e-12))
+            base_all.append(psnr(noisy))
+            den_all.append(psnr(out))
+    if not base_all:
+        print(f"{prefix}: no files — run runs/gen_realtime_inputs.py first")
+        continue
+    row = dict(tier=f"{prefix} (1 frame x {rays} rays)", n=len(base_all),
+               base_db=float(np.mean(base_all)),
+               denoised_db=float(np.mean(den_all)),
+               gain_db=float(np.mean(den_all) - np.mean(base_all)))
+    rows.append(row)
+    print(" ".join(f"{k}={v:.3f}" if isinstance(v, float) else f"{k}={v}"
+                   for k, v in row.items()), flush=True)
+
+if report and rows:
+    with open(report, "w") as f:
+        f.write("# Realtime-regime denoiser evaluation\n\n")
+        f.write(
+            f"Checkpoint: `{ckpt}`; dataset `{os.path.basename(dataset_dir)}`; "
+            f"{len(held)} held-out scenes x 2 tracers. Inputs are single-frame "
+            "single-jitter-phase MC renders (the production regime the net "
+            "sees in the fused pipeline, runs/gen_realtime_inputs.py); PSNR "
+            "is gray-point exposure-normalized vs the converged reference.\n\n")
+        f.write("| tier | n | noisy dB | denoised dB | gain dB |\n"
+                "|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(f"| {r['tier']} | {r['n']} | {r['base_db']:.2f} | "
+                    f"{r['denoised_db']:.2f} | **{r['gain_db']:+.2f}** |\n")
+    print("wrote", report)

@@ -21,6 +21,15 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+if "--smoke" in sys.argv:
+    # Pin the platform BEFORE any litbox import can touch a backend: with
+    # the TPU tunnel busy (one client at a time), a late pin leaves a
+    # first-touch axon init blocked on the tunnel lock.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from litbox_tpu.nn.dataset import DenoiserDataset
@@ -70,11 +79,6 @@ def stage(prefix: str, use_ids: list, crop: int) -> DenoiserDataset:
 
 
 SMOKE = "--smoke" in sys.argv
-if SMOKE:
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
 UNET = int(os.environ.get("LITBOX_TRAIN_UNET", "5"))
 FEATS = int(os.environ.get("LITBOX_TRAIN_FEATS", "32"))
 LR = float(os.environ.get("LITBOX_TRAIN_LR", "1e-4"))
@@ -95,14 +99,33 @@ if "--resume" in sys.argv:
     trainer.load(os.path.join(OUT, "model.npz"))
     print("resumed", flush=True)
 
-have_rt = bool(glob.glob(os.path.join(dataset_dir, "InputRT0_Radiance_A_*.exr")))
-stages = [("Easy", stage("Input2", train_ids, CROP)),
-          ("Medium", stage("Input1", train_ids, CROP)),
-          ("Final", stage("Input0", train_ids, CROP))]
-if have_rt:
-    stages += [("RT1", stage("InputRT1", train_ids, CROP)),
-               ("RT0", stage("InputRT0", train_ids, CROP))]
-print("stages:", [s[0] for s in stages], flush=True)
+def rt_prefixes() -> list:
+    """InputRT tiers present on disk, noisiest (lowest rays = highest k by
+    gen convention? no — k indexes the --tiers list ascending) ordered so
+    the curriculum ends on the noisiest tier: RT ray counts ascend with k,
+    so reverse-k = cleanest-first is wrong; order stages clean -> noisy,
+    i.e. descending rays = descending k."""
+    ks = sorted({int(p.split("InputRT")[1].split("_")[0]) for p in glob.glob(
+        os.path.join(dataset_dir, "InputRT*_Radiance_A_*.exr"))})
+    return [f"InputRT{k}" for k in reversed(ks)]  # high rays (clean) first
+
+
+RT = rt_prefixes()
+have_rt = bool(RT)
+
+
+def ids_with(prefix: str, use_ids: list) -> list:
+    """Scenes whose files exist for this tier (the factory and the RT input
+    renderer run in sequence; a scene can have a ref before its RT tiers)."""
+    return [i for i in use_ids if os.path.exists(
+        os.path.join(dataset_dir, f"{prefix}_Radiance_B_{i}.exr"))]
+
+
+stages = [("Easy", stage("Input2", ids_with("Input2", train_ids), CROP)),
+          ("Medium", stage("Input1", ids_with("Input1", train_ids), CROP)),
+          ("Final", stage("Input0", ids_with("Input0", train_ids), CROP))]
+stages += [(p, stage(p, ids_with(p, train_ids), CROP)) for p in RT]
+print("stages:", [(s[0], len(s[1])) for s in stages], flush=True)
 
 
 def heldout_gain(max_scenes: int = 6, prefix: str | None = None):
@@ -111,10 +134,10 @@ def heldout_gain(max_scenes: int = 6, prefix: str | None = None):
     from litbox_tpu.nn.infer import infer_large
 
     if prefix is None:
-        prefix = "InputRT1" if have_rt else "Input1"
+        prefix = RT[-1] if have_rt else "Input1"  # noisiest realtime tier
     fn = trainer.eval_fn()
     base, den = [], []
-    for i in held_ids[:max_scenes]:
+    for i in ids_with(prefix, held_ids)[:max_scenes]:
         s = scene_scale(i)
         noisy = read_image_linear(
             os.path.join(dataset_dir, f"{prefix}_Radiance_A_{i}.exr")) * s
@@ -141,7 +164,9 @@ budget = minutes * 60
 # profiles so the HELDOUT accumulated metric stays non-negative: after the
 # warmup cuts, a random stage weighted toward RT.
 CUTS = (0.12, 0.24, 0.40)
-RT_WEIGHTS = (0.1, 0.1, 0.2, 0.3, 0.3)  # Easy, Medium, Final, RT1, RT0
+# Accumulated stages keep 0.4 of the post-warmup sampling; RT tiers split
+# the remaining 0.6 evenly.
+RT_WEIGHTS = tuple([0.1, 0.1, 0.2] + [0.6 / max(len(RT), 1)] * len(RT))
 
 
 def active_stage():
@@ -152,6 +177,16 @@ def active_stage():
         if f < c:
             return stages[idx]
     return stages[int(rng.choice(len(stages), p=RT_WEIGHTS))]
+
+
+def selection_score(max_scenes: int = 3):
+    """Model-selection metric: held-out REALTIME gain, penalized 3x for any
+    NEGATIVE accumulated-profile gain (VERDICT r2 requires the realtime win
+    to not reintroduce the -3.6 dB accumulated regression)."""
+    rb, rd = heldout_gain(max_scenes)
+    ab, ad = heldout_gain(max_scenes, prefix="Input1")
+    rt_gain, acc_gain = rd - rb, ad - ab
+    return rt_gain + 3.0 * min(0.0, acc_gain), rt_gain, acc_gain
 
 
 while time.time() - t0 < budget:
@@ -172,24 +207,24 @@ while time.time() - t0 < budget:
             print(f"{time.time()-t0:7.1f}s step {step} [{name}] loss {loss:.5f}", flush=True)
         if time.time() - t0 > budget:
             break
-    if time.time() - t0 - last_eval > 1500:
+    if time.time() - t0 - last_eval > 600:
         last_eval = time.time() - t0
-        b, d = heldout_gain(3)
-        print(f"CHECKPOINT {last_eval:.0f}s heldout base {b:.2f} dB denoised "
-              f"{d:.2f} dB gain {d-b:+.2f} dB", flush=True)
-        if d - b > best_gain:
-            best_gain = d - b
+        score, rt_g, acc_g = selection_score()
+        print(f"CHECKPOINT {last_eval:.0f}s heldout rt {rt_g:+.2f} dB "
+              f"acc {acc_g:+.2f} dB score {score:+.2f}", flush=True)
+        if score > best_gain:
+            best_gain = score
             trainer.save(os.path.join(OUT, "model_best.npz"),
                          include_optimizer=False)
-            print(f"BEST so far {best_gain:+.2f} dB -> model_best.npz", flush=True)
+            print(f"BEST so far {best_gain:+.2f} -> model_best.npz", flush=True)
         trainer.save(os.path.join(OUT, "model.npz"), include_optimizer=False)
 
 trainer.save(os.path.join(OUT, "model.npz"), include_optimizer=True)
 trainer.save(os.path.join(OUT, "model_final.npz"), include_optimizer=False)
-b, d = heldout_gain(len(held_ids))
-print(f"FINAL steps {step} heldout base {b:.2f} dB denoised {d:.2f} dB "
-      f"gain {d-b:+.2f} dB", flush=True)
-if d - b > best_gain:
-    best_gain = d - b
+score, rt_g, acc_g = selection_score(len(held_ids))
+print(f"FINAL steps {step} heldout rt {rt_g:+.2f} dB acc {acc_g:+.2f} dB "
+      f"score {score:+.2f}", flush=True)
+if score > best_gain:
+    best_gain = score
     trainer.save(os.path.join(OUT, "model_best.npz"), include_optimizer=False)
-print(f"BEST heldout gain {best_gain:+.2f} dB (model_best.npz)", flush=True)
+print(f"BEST selection score {best_gain:+.2f} (model_best.npz)", flush=True)

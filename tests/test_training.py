@@ -120,6 +120,18 @@ def test_infer_large_covers_image():
     assert np.abs(out[10:-10, 10:-10]).sum() > 0
 
 
+def test_infer_large_covers_rim():
+    """Boundary tiles keep their edge rows/cols: with an identity model the
+    output equals the input EVERYWHERE, including the image rim (round-2 bug:
+    inner-cropping boundary tiles left a 256^2 single-tile input with a
+    16 px zero ring = 23% of its pixels, depressing every held-out metric)."""
+    identity = lambda x: x
+    for shape in ((32, 32, 3), (70, 90, 3), (64, 32, 3)):
+        img = np.random.default_rng(3).uniform(0.1, 1, shape).astype(np.float32)
+        out = infer_large(identity, img, tile=32, overlap=8)
+        np.testing.assert_allclose(out, img, rtol=1e-6)
+
+
 def test_infer_large_subtile_input():
     """Inputs smaller than one tile are reflect-padded and denoised instead
     of silently returning zeros (ADVICE round 1, nn/infer.py:48)."""
