@@ -13,6 +13,14 @@ import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+if "--cpu" in sys.argv:
+    # Pin before any litbox import: with the TPU tunnel busy (one client at
+    # a time) a late first-touch axon init blocks on the tunnel lock.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 dataset_dir = sorted(glob.glob("/root/repo/runs/dataset_r2/*"))[-1]
