@@ -219,6 +219,10 @@ def main():
             if SKIP_DISPLAY:
                 acc = acc + raw[0, 0, 0]
             else:
+                # Benchmark-only: with GROUPS>1 the cache slots were resolved
+                # at different accumulation counts, so dividing by r+1 makes
+                # per-frame brightness inconsistent (timing unaffected; the
+                # tracer normalizes each partial by its resolve-time count).
                 acc = acc + display(raw, jnp.float32(r + 1.0), gb,
                                     model_vars)[0, 0, 0]
         return acc
