@@ -12,8 +12,8 @@ File-based on purpose: it needs no simulation, so with --cpu it runs
 concurrently with TPU training (one TPU client at a time in this
 environment).
 
-Usage: python runs/eval_realtime_r3.py CKPT [--cpu] [--report REALTIME_EVAL.md]
-       [--dataset DIR] [--all-scenes]
+Usage: python runs/eval_realtime_r3.py CKPT [--cpu] [--bf16]
+       [--report REALTIME_EVAL.md] [--dataset DIR] [--all-scenes]
 """
 import glob
 import os
@@ -52,7 +52,23 @@ print(f"dataset {os.path.basename(dataset_dir)}: {len(ids)} scenes, "
 
 trainer = Trainer(load_train_config(ckpt))
 trainer.load(ckpt)
-fn = trainer.eval_fn()
+USE_BF16 = "--bf16" in sys.argv
+if USE_BF16:
+    # The fused 1080p display runs the net in bf16 (runs/bench_1080p.py
+    # --bf16); measure the production regime at production precision.
+    import jax
+    import jax.numpy as jnp
+
+    cast = lambda t: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+    trainer.params = cast(trainer.params)
+    trainer.batch_stats = cast(trainer.batch_stats)
+    _inner = trainer.eval_fn()
+    fn = lambda x: _inner(jnp.asarray(x).astype(jnp.bfloat16)).astype(
+        jnp.float32)
+else:
+    fn = trainer.eval_fn()
 
 TIERS = (("InputRT0", 8192), ("InputRT1", 32768))
 rows = []
@@ -94,7 +110,9 @@ if report and rows:
             f"{len(held)} held-out scenes x 2 tracers. Inputs are single-frame "
             "single-jitter-phase MC renders (the production regime the net "
             "sees in the fused pipeline, runs/gen_realtime_inputs.py); PSNR "
-            "is gray-point exposure-normalized vs the converged reference.\n\n")
+            "is gray-point exposure-normalized vs the converged reference."
+            + (" Net run in bf16 (production display precision)."
+               if USE_BF16 else "") + "\n\n")
         f.write("| tier | n | noisy dB | denoised dB | gain dB |\n"
                 "|---|---|---|---|---|\n")
         for r in rows:
