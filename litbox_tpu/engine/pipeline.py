@@ -30,13 +30,15 @@ class PipelineConfig:
     tonemap: str = "ue5"  # 'ue5' | 'uchimura' | 'none'
     exposure: float = 0.0
     denoise: bool = True
+    denoise_blend: float = 1.0  # residual-blend factor k (nn.infer.fit_blend)
     unet_size: int = 5
     initial_features: int = 32
     transform: TransformConfig = dataclasses.field(default_factory=TransformConfig)
 
 
 def denoise_hdr(model: "LitboxDenoiserNet", model_variables: Any,
-                hdr: jax.Array, transform: TransformConfig) -> jax.Array:
+                hdr: jax.Array, transform: TransformConfig,
+                blend: float = 1.0) -> jax.Array:
     """Run the mono UNet over an (H, W, 3) HDR image, channels as batch.
 
     Reflect-pads to multiples of 32 (2^unet_size pool levels) so arbitrary
@@ -57,8 +59,14 @@ def denoise_hdr(model: "LitboxDenoiserNet", model_variables: Any,
     out = model.apply(model_variables, xin, train=False)
     out = post_transform(out, stats, transform)
     if model.out_channels == 3:
-        return out[0, :h, :w, :]
-    return out[:, :h, :w, 0].transpose(1, 2, 0)
+        out = out[0, :h, :w, :]
+    else:
+        out = out[:, :h, :w, 0].transpose(1, 2, 0)
+    if blend != 1.0:
+        # Residual-blend shrinkage (nn.infer.fit_blend): never hurts in
+        # expectation when k is calibrated; k=1 is the raw net output.
+        out = hdr + jnp.float32(blend) * (out - hdr)
+    return out
 
 
 class AIAccelerator:
@@ -72,22 +80,46 @@ class AIAccelerator:
     def __init__(self, simulation, model_variables: Any,
                  unet_size: int = 5, initial_features: int = 32,
                  transform: TransformConfig | None = None,
-                 tonemap: str = "ue5"):
+                 tonemap: str = "ue5", blend: float | str = 1.0):
         self.simulation = simulation
         self.model_variables = model_variables
         self.transform = transform or TransformConfig()
         self.tonemap = tonemap
+        self.blend = blend
         self.model = LitboxDenoiserNet(unet_size=unet_size,
                                        initial_features=initial_features)
         self.hdr_output: jax.Array | None = None
         self.tonemapped_output: jax.Array | None = None
-        self._run = jax.jit(lambda variables, hdr: denoise_hdr(
-            self.model, variables, hdr, self.transform))
+        self.last_blend: jax.Array | None = None  # k used on the last step (auto mode)
+        if blend == "auto":
+            # Self-calibrating blend from the dual-tracer pair
+            # (nn.infer.blend_from_pair): denoise tracer A, calibrate k
+            # against tracer B, display the k-blended denoised mean. One
+            # fused jit; k costs two dot products.
+            from ..nn.infer import blend_from_pair
+
+            def run_auto(variables, a, b):
+                out_a = denoise_hdr(self.model, variables, a, self.transform)
+                k = blend_from_pair(out_a, a, b)
+                x = (a + b) * 0.5
+                out = denoise_hdr(self.model, variables, x, self.transform)
+                return x + k * (out - x), k
+
+            self._run_auto = jax.jit(run_auto)
+        else:
+            self._run = jax.jit(lambda variables, hdr: denoise_hdr(
+                self.model, variables, hdr, self.transform, blend=self.blend))
         simulation.on_step.append(self._on_step)
 
     def _on_step(self, _iteration=None):
-        hdr = jnp.asarray(self.simulation.simulation_output_hdr)
-        self.hdr_output = self._run(self.model_variables, hdr)
+        if self.blend == "auto":
+            a = jnp.asarray(self.simulation.tracer_a.tracer_output)
+            b = jnp.asarray(self.simulation.tracer_b.tracer_output)
+            self.hdr_output, self.last_blend = self._run_auto(
+                self.model_variables, a, b)
+        else:
+            hdr = jnp.asarray(self.simulation.simulation_output_hdr)
+            self.hdr_output = self._run(self.model_variables, hdr)
         if self.tonemap == "uchimura":
             self.tonemapped_output = tonemap_uchimura(self.hdr_output,
                                                       UchimuraShape())
@@ -114,7 +146,8 @@ def make_frame_fn(cfg: PipelineConfig, gbuffer, lights, field_textures, brdf_lut
         if not cfg.denoise or model_variables is None:
             return hdr
         # Channels as batch: (3, H, W, 1) through the mono UNet.
-        return denoise_hdr(model, model_variables, hdr, cfg.transform)
+        return denoise_hdr(model, model_variables, hdr, cfg.transform,
+                           blend=cfg.denoise_blend)
 
     def tonemap(x: jax.Array) -> jax.Array:
         x = x * (10.0 ** cfg.exposure)

@@ -19,7 +19,8 @@ from ..io.images import read_image_linear, write_png
 
 
 def infer_large(run_mono, img: np.ndarray, tile: int = 256, overlap: int = 32,
-                batch: int = 8, rgb: bool = False) -> np.ndarray:
+                batch: int = 8, rgb: bool = False,
+                blend: float = 1.0) -> np.ndarray:
     """Denoise (H, W, C) channel-wise in overlapping tiles.
 
     run_mono: jitted fn mapping (N, tile, tile, 1) -> (N, tile, tile, 1).
@@ -42,7 +43,7 @@ def infer_large(run_mono, img: np.ndarray, tile: int = 256, overlap: int = 32,
             padded = np.pad(padded, ((0, max(py, 0)), (0, max(px, 0)), (0, 0)),
                             mode="reflect")
         return infer_large(run_mono, padded, tile, overlap, batch,
-                           rgb=rgb)[:h, :w]
+                           rgb=rgb, blend=blend)[:h, :w]
     stride = tile - overlap
     out = np.zeros_like(img, dtype=np.float32)
     counts = np.zeros((h, w, 1), dtype=np.float32)
@@ -94,7 +95,64 @@ def infer_large(run_mono, img: np.ndarray, tile: int = 256, overlap: int = 32,
             if ci is None or ci == 0:
                 counts[y + iy0:y + tile - iy1, x + ix0:x + tile - ix1] += 1
 
-    return out / np.maximum(counts, 1.0)
+    out = out / np.maximum(counts, 1.0)
+    if blend != 1.0:
+        # Residual-blend shrinkage: out = x + k (net(x) - x). See fit_blend.
+        out = img + np.float32(blend) * (out - img)
+    return out
+
+
+def fit_blend(run_mono, pairs, rgb: bool = False, tile: int = 256,
+              overlap: int = 32, batch: int = 8) -> float:
+    """Closed-form calibration of the residual-blend factor k.
+
+    Production denoisers expose a blend factor between the raw and denoised
+    images (the reference's Unity.InferenceEngine path would sit behind the
+    same kind of knob; OptiX/OIDN call it `blendFactor`). For
+    out_k = x + k (net(x) - x), the MSE-optimal scalar over a calibration
+    set {(x_i, ref_i)} is the least-squares projection
+
+        k* = sum <net(x)-x, ref-x> / sum |net(x)-x|^2,   clipped to [0, 1].
+
+    Fit on TRAINING scenes, apply everywhere: k* -> 1 when the net's
+    correction is trustworthy (noisy inputs), -> 0 when the input is already
+    cleaner than the net's output fidelity, so blended inference never hurts
+    in expectation. `pairs` yields (noisy, reference) HDR arrays on a common
+    exposure scale.
+    """
+    num = 0.0
+    den = 0.0
+    for noisy, ref in pairs:
+        out = infer_large(run_mono, np.asarray(noisy, np.float32), tile,
+                          overlap, batch, rgb=rgb)
+        d = out - noisy
+        num += float((d * (ref - noisy)).sum())
+        den += float((d * d).sum())
+    return float(np.clip(num / max(den, 1e-12), 0.0, 1.0))
+
+
+def blend_from_pair(out, x, other, eps: float = 1e-12):
+    """Per-image residual-blend factor self-calibrated from the tracer pair.
+
+    For d = net(x) - x, the MSE-optimal blend is k* = <d, ref-x>/<d,d>
+    (fit_blend). In production there is no ref — but the engine always runs
+    TWO independent tracers (the dual-tracer variance design,
+    Simulation.cs:78): `other` is an unbiased estimate of ref whose noise is
+    independent of x, so E<d, other-ref> = 0 and
+
+        k = <d, other - x> / <d, d>,  clipped to [0, 1]
+
+    is an unbiased estimate of k* computable every frame on device (two dot
+    products). Noise-free inputs give other ~= x -> k ~= 0 (the denoiser
+    backs itself off instead of degrading an already-converged image);
+    streaky 1-frame inputs give k -> 1. Works for numpy and jnp arrays.
+    """
+    d = out - x
+    num = (d * (other - x)).sum()
+    den = (d * d).sum()
+    if isinstance(num, np.ndarray) or np.isscalar(num):
+        return float(np.clip(num / max(float(den), eps), 0.0, 1.0))
+    return jnp.clip(num / jnp.maximum(den, eps), 0.0, 1.0)
 
 
 def evaluate(run_mono, input_pattern: str, output_folder: str,

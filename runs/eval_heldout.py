@@ -31,12 +31,15 @@ if "--report" in sys.argv:
     report = sys.argv[sys.argv.index("--report") + 1]
 
 from litbox_tpu.io.images import read_image_linear
-from litbox_tpu.nn.infer import infer_large
+from litbox_tpu.nn.infer import blend_from_pair, fit_blend, infer_large
 from litbox_tpu.nn.train import Trainer, load_train_config
 
 refs = sorted(glob.glob(os.path.join(dataset_dir, "Output_Reference_*.exr")))
 ids = [p.split("_")[-1].split(".")[0] for p in refs]
 held = [i for k, i in enumerate(ids) if k % 8 == 7]
+train_ids = [i for k, i in enumerate(ids) if k % 8 != 7]
+USE_BLEND = "--blend" in sys.argv
+PAIR_BLEND = "--pair-blend" in sys.argv
 print(f"dataset {dataset_dir}: {len(ids)} scenes, {len(held)} held-out")
 
 trainer = Trainer(load_train_config(ckpt))
@@ -51,20 +54,39 @@ def scale_of(i):
 
 rows = []
 for prof in (0, 1, 2):
+    k = 1.0
+    if USE_BLEND:
+        def _pairs(prof=prof, n=8):
+            for i in train_ids[:n]:
+                s, ref = scale_of(i)
+                pth = os.path.join(dataset_dir,
+                                   f"Input{prof}_Radiance_A_{i}.exr")
+                if os.path.exists(pth):
+                    yield read_image_linear(pth) * s, ref * s
+        k = fit_blend(fn, _pairs(), rgb=trainer.cfg.rgb)
+        print(f"Input{prof}: calibrated blend k={k:.3f}", flush=True)
     base_all, den_all = [], []
     for i in held:
         s, ref = scale_of(i)
         ref = ref * s
-        for tracer in ("A", "B"):
+        for tracer, other_t in (("A", "B"), ("B", "A")):
             p = os.path.join(dataset_dir, f"Input{prof}_Radiance_{tracer}_{i}.exr")
             noisy = read_image_linear(p) * s
-            out = infer_large(fn, noisy, rgb=trainer.cfg.rgb)
+            out = infer_large(fn, noisy, rgb=trainer.cfg.rgb, blend=k)
+            if PAIR_BLEND:
+                other = read_image_linear(os.path.join(
+                    dataset_dir,
+                    f"Input{prof}_Radiance_{other_t}_{i}.exr")) * s
+                kp = blend_from_pair(out, noisy, other.astype(np.float32))
+                out = noisy + kp * (out - noisy)
             peak = max(float(ref.max()), 1e-6)
             psnr = lambda x: 10 * np.log10(
                 peak**2 / max(float(((x - ref) ** 2).mean()), 1e-12))
             base_all.append(psnr(noisy))
             den_all.append(psnr(out))
-    row = dict(profile=f"Input{prof}", n=len(base_all),
+    row = dict(profile=f"Input{prof}"
+               + (f" k={k:.2f}" if USE_BLEND else "")
+               + (" auto-k" if PAIR_BLEND else ""), n=len(base_all),
                base_db=float(np.mean(base_all)),
                denoised_db=float(np.mean(den_all)),
                gain_db=float(np.mean(den_all) - np.mean(base_all)))
@@ -77,7 +99,14 @@ if report:
         f.write("# Held-out denoiser evaluation\n\n")
         f.write(f"Checkpoint: `{ckpt}`; dataset `{os.path.basename(dataset_dir)}`; "
                 f"{len(held)} held-out scenes x 2 tracers, gray-point "
-                "exposure-normalized PSNR vs converged references.\n\n")
+                "exposure-normalized PSNR vs converged references."
+                + (" Inference uses the residual-blend factor k calibrated "
+                   "per profile on TRAINING scenes (nn.infer.fit_blend)."
+                   if USE_BLEND else "")
+                + (" Inference is the production auto-blend mode: each "
+                   "sample self-calibrates k against the other tracer of "
+                   "its pair (nn.infer.blend_from_pair); no reference data "
+                   "is used." if PAIR_BLEND else "") + "\n\n")
         f.write("| profile | n | noisy dB | denoised dB | gain dB |\n|---|---|---|---|---|\n")
         for r in rows:
             f.write(f"| {r['profile']} | {r['n']} | {r['base_db']:.2f} | "

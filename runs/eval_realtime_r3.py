@@ -12,8 +12,15 @@ File-based on purpose: it needs no simulation, so with --cpu it runs
 concurrently with TPU training (one TPU client at a time in this
 environment).
 
-Usage: python runs/eval_realtime_r3.py CKPT [--cpu] [--bf16]
+Usage: python runs/eval_realtime_r3.py CKPT [--cpu] [--bf16] [--blend]
        [--report REALTIME_EVAL.md] [--dataset DIR] [--all-scenes]
+
+--blend: calibrate the residual-blend factor k per tier on TRAINING scenes
+(closed form, nn.infer.fit_blend) and evaluate the blended output on the
+held-out scenes.
+--pair-blend: the production inference mode (AIAccelerator blend='auto'):
+each sample self-calibrates k from the OTHER tracer of its dual-tracer pair
+(nn.infer.blend_from_pair) — no reference, no training scenes involved.
 """
 import glob
 import os
@@ -29,7 +36,7 @@ if "--cpu" in sys.argv:
 import numpy as np
 
 from litbox_tpu.io.images import read_image_linear
-from litbox_tpu.nn.infer import infer_large
+from litbox_tpu.nn.infer import blend_from_pair, fit_blend, infer_large
 from litbox_tpu.nn.train import Trainer, load_train_config
 
 if "--dataset" in sys.argv:
@@ -47,6 +54,9 @@ refs = sorted(glob.glob(os.path.join(dataset_dir, "Output_Reference_*.exr")))
 ids = [p.split("_")[-1].split(".")[0] for p in refs]
 held = ids if "--all-scenes" in sys.argv else [
     i for k, i in enumerate(ids) if k % 8 == 7]
+train_ids = [i for k, i in enumerate(ids) if k % 8 != 7]
+USE_BLEND = "--blend" in sys.argv
+PAIR_BLEND = "--pair-blend" in sys.argv
 print(f"dataset {os.path.basename(dataset_dir)}: {len(ids)} scenes, "
       f"{len(held)} evaluated; ckpt {ckpt}", flush=True)
 
@@ -70,9 +80,25 @@ if USE_BF16:
 else:
     fn = trainer.eval_fn()
 
+def calib_pairs(prefix, n=8):
+    for i in train_ids[:n]:
+        pr = os.path.join(dataset_dir, f"{prefix}_Radiance_A_{i}.exr")
+        pf = os.path.join(dataset_dir, f"Output_Reference_{i}.exr")
+        if not os.path.exists(pr):
+            continue
+        ref = read_image_linear(pf)
+        s = 0.18 / max(float(ref.mean()), 1e-6)
+        yield read_image_linear(pr) * s, ref * s
+
+
 TIERS = (("InputRT0", 8192), ("InputRT1", 32768))
 rows = []
 for prefix, rays in TIERS:
+    k = 1.0
+    if USE_BLEND:
+        k = fit_blend(fn, calib_pairs(prefix), rgb=trainer.cfg.rgb)
+        print(f"{prefix}: calibrated blend k={k:.3f} on train scenes",
+              flush=True)
     base_all, den_all = [], []
     for i in held:
         ref = read_image_linear(
@@ -80,13 +106,19 @@ for prefix, rays in TIERS:
         s = 0.18 / max(float(ref.mean()), 1e-6)
         ref = ref * s
         peak = max(float(ref.max()), 1e-6)
-        for tracer in ("A", "B"):
+        for tracer, other_t in (("A", "B"), ("B", "A")):
             p = os.path.join(dataset_dir, f"{prefix}_Radiance_{tracer}_{i}.exr")
             if not os.path.exists(p):
                 continue
             noisy = read_image_linear(p) * s
             out = infer_large(fn, noisy.astype(np.float32),
-                              rgb=trainer.cfg.rgb)
+                              rgb=trainer.cfg.rgb, blend=k)
+            if PAIR_BLEND:
+                other = read_image_linear(os.path.join(
+                    dataset_dir,
+                    f"{prefix}_Radiance_{other_t}_{i}.exr")) * s
+                kp = blend_from_pair(out, noisy, other.astype(np.float32))
+                out = noisy + kp * (out - noisy)
             psnr = lambda x: 10 * np.log10(
                 peak**2 / max(float(((x - ref) ** 2).mean()), 1e-12))
             base_all.append(psnr(noisy))
@@ -94,7 +126,9 @@ for prefix, rays in TIERS:
     if not base_all:
         print(f"{prefix}: no files — run runs/gen_realtime_inputs.py first")
         continue
-    row = dict(tier=f"{prefix} (1 frame x {rays} rays)", n=len(base_all),
+    row = dict(tier=f"{prefix} (1 frame x {rays} rays)"
+               + (f" k={k:.2f}" if USE_BLEND else "")
+               + (" auto-k" if PAIR_BLEND else ""), n=len(base_all),
                base_db=float(np.mean(base_all)),
                denoised_db=float(np.mean(den_all)),
                gain_db=float(np.mean(den_all) - np.mean(base_all)))
@@ -112,7 +146,15 @@ if report and rows:
             "sees in the fused pipeline, runs/gen_realtime_inputs.py); PSNR "
             "is gray-point exposure-normalized vs the converged reference."
             + (" Net run in bf16 (production display precision)."
-               if USE_BF16 else "") + "\n\n")
+               if USE_BF16 else "")
+            + (" Inference uses the residual-blend factor k calibrated "
+               "per tier on TRAINING scenes (nn.infer.fit_blend; the "
+               "production AIAccelerator blend knob)." if USE_BLEND else "")
+            + (" Inference is the production auto-blend mode (AIAccelerator "
+               "blend='auto'): each sample self-calibrates k against the "
+               "other tracer of its pair (nn.infer.blend_from_pair) — no "
+               "reference data is used." if PAIR_BLEND else "")
+            + "\n\n")
         f.write("| tier | n | noisy dB | denoised dB | gain dB |\n"
                 "|---|---|---|---|---|\n")
         for r in rows:

@@ -51,3 +51,59 @@ def test_fused_frame_without_denoiser():
     frame = make_frame_fn(cfg, gb, scene.lights, scene.field_textures, brdf, fields)
     src, display, hdr = frame(rbt.zero_sources(fields), jnp.float32(1.0), jax.random.key(0))
     assert np.all(np.isfinite(np.asarray(display)))
+
+
+def test_ai_accelerator_auto_blend():
+    """blend='auto': the accelerator self-calibrates k from the tracer pair
+    each step (nn.infer.blend_from_pair) and exposes it as last_blend."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from litbox_tpu.engine import Mode, Simulation
+    from litbox_tpu.engine.pipeline import AIAccelerator
+    from litbox_tpu.nn.unet import LitboxDenoiserNet
+    from litbox_tpu.scene import SceneBuilder
+
+    w = 32
+    b = SceneBuilder()
+    b.add_point_light((w / 2, w / 2), radius=1.5, intensity=1.5, bounces=2)
+    b.add_rect((w / 2, w / 2), (w, w), log_density=-1.2)
+    sim = Simulation(width=w, height=w, mode=Mode.REFERENCE,
+                     rays_per_frame=1024, frame_limit=2)
+    sim.set_scene(b.build(max_lights=1, max_shapes=1))
+
+    model = LitboxDenoiserNet(unet_size=2, initial_features=4)
+    variables = model.init(jax.random.key(0), jnp.zeros((3, w, w, 1)),
+                           train=False)
+    ai = AIAccelerator(sim, variables, unet_size=2, initial_features=4,
+                       blend="auto")
+    sim.run(max_frames=2)
+
+    assert ai.hdr_output is not None
+    assert ai.hdr_output.shape == (w, w, 3)
+    assert bool(jnp.isfinite(ai.hdr_output).all())
+    k = float(ai.last_blend)
+    assert 0.0 <= k <= 1.0
+    ai.detach()
+
+
+def test_blend_from_pair_semantics():
+    """k -> optimal shrinkage: 0 for a harmful correction, ~1 when the
+    correction exactly cancels noise the other tracer doesn't share."""
+    import numpy as np
+
+    from litbox_tpu.nn.infer import blend_from_pair
+
+    rng = np.random.default_rng(11)
+    ref = rng.uniform(0.2, 1.0, (48, 48, 3)).astype(np.float32)
+    na = rng.normal(0, 0.1, ref.shape).astype(np.float32)
+    nb = rng.normal(0, 0.1, ref.shape).astype(np.float32)
+    a, b = ref + na, ref + nb
+
+    # Perfect denoiser: out == ref, so d == -na (cancels A's noise).
+    assert blend_from_pair(ref, a, b) > 0.9
+    # Harmful 'denoiser': adds an unrelated bias; independent of b - a.
+    assert blend_from_pair(a + 0.5, a, b) < 0.1
+    # No-op: d == 0 -> degenerate ratio, still clipped into [0, 1].
+    assert 0.0 <= blend_from_pair(a, a, b) <= 1.0

@@ -132,6 +132,56 @@ def test_infer_large_covers_rim():
         np.testing.assert_allclose(out, img, rtol=1e-6)
 
 
+def test_fit_blend_and_blended_inference():
+    """Residual-blend shrinkage (nn/infer.py fit_blend): k -> 0 when the
+    'denoiser' only injects noise (blended output == input, never hurts),
+    k -> 1 when the denoiser returns the reference exactly; infer_large
+    applies out = x + k (net(x) - x)."""
+    from litbox_tpu.nn.infer import fit_blend
+
+    rng = np.random.default_rng(5)
+    ref = rng.uniform(0.2, 1.0, (64, 64, 3)).astype(np.float32)
+    noisy = ref + rng.normal(0, 0.05, ref.shape).astype(np.float32)
+
+    # Harmful net: adds a constant bias uncorrelated with (ref - noisy);
+    # the least-squares k is ~ mean(ref - noisy)/bias ~ 0.
+    k_bad = fit_blend(lambda x: x + 0.3, [(noisy, ref)], rgb=True,
+                      tile=32, overlap=8)
+    assert k_bad < 0.2
+
+    # Identity net: zero residual -> k degenerates, clipped into [0, 1].
+    k_id = fit_blend(lambda x: x, [(noisy, ref)], rgb=True, tile=32, overlap=8)
+    assert 0.0 <= k_id <= 1.0
+
+    # infer_large blend semantics: k=0 returns the input exactly.
+    out0 = infer_large(lambda x: x + 1.0, noisy, tile=32, overlap=8,
+                       rgb=True, blend=0.0)
+    np.testing.assert_allclose(out0, noisy, rtol=1e-6)
+    # and k=0.5 is the midpoint.
+    out5 = infer_large(lambda x: x + 1.0, noisy, tile=32, overlap=8,
+                       rgb=True, blend=0.5)
+    np.testing.assert_allclose(out5, noisy + 0.5, rtol=1e-5)
+
+
+def test_denoise_hdr_blend():
+    """Pipeline denoise_hdr blend: k=0 is a no-op display path."""
+    import jax
+    from litbox_tpu.engine.pipeline import denoise_hdr
+    from litbox_tpu.nn.unet import LitboxDenoiserNet, TransformConfig
+
+    model = LitboxDenoiserNet(unet_size=2, initial_features=4)
+    hdr = np.random.default_rng(7).uniform(0, 1, (40, 48, 3)).astype(np.float32)
+    variables = model.init(jax.random.key(0), np.zeros((3, 32, 32, 1), np.float32),
+                           train=False)
+    out0 = denoise_hdr(model, variables, hdr, TransformConfig(), blend=0.0)
+    np.testing.assert_allclose(np.asarray(out0), hdr, rtol=1e-5, atol=1e-6)
+    out1 = denoise_hdr(model, variables, hdr, TransformConfig(), blend=1.0)
+    outh = denoise_hdr(model, variables, hdr, TransformConfig(), blend=0.5)
+    np.testing.assert_allclose(np.asarray(outh),
+                               0.5 * (hdr + np.asarray(out1)),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_infer_large_subtile_input():
     """Inputs smaller than one tile are reflect-padded and denoised instead
     of silently returning zeros (ADVICE round 1, nn/infer.py:48)."""
