@@ -111,6 +111,16 @@ def main():
     photons_per_sec = RAYS_PER_FRAME * FRAMES / dt
     metric = ("photons_per_sec_per_chip_no_cull" if BOUNCE_RAYS == 0
               else "photons_per_sec_per_chip")
+    # Round-over-round regression guard (VERDICT r3 next #5): print the
+    # delta vs the best prior recorded round. Interleaved A/B of the r2 and
+    # r4 code on one chip session (NOTES_ROUND4.md) measured +/-5% session
+    # variance and <2% code delta, so single-session comparisons below ~7%
+    # are noise, not regressions.
+    prior = {"photons_per_sec_per_chip": 136.9e6}  # BENCH_r02.json
+    if metric in prior:
+        print(f"# vs best prior round ({prior[metric]/1e6:.1f} M, r2): "
+              f"{(photons_per_sec / prior[metric] - 1) * 100:+.1f}%",
+              file=sys.stderr)
     print(json.dumps({
         "metric": metric,
         "value": photons_per_sec,

@@ -69,6 +69,35 @@ def denoise_hdr(model: "LitboxDenoiserNet", model_variables: Any,
     return out
 
 
+def denoise_pair_hdr(model: "LitboxDenoiserNet", model_variables: Any,
+                     a: jax.Array, b: jax.Array,
+                     transform: TransformConfig) -> tuple[jax.Array, jax.Array]:
+    """Denoise both tracers of the dual-tracer pair in ONE model.apply.
+
+    Same FLOPs as two denoise_hdr calls but a single batched pass: mono nets
+    see (6, H, W, 1) (both images' channels as batch), the RGB variant
+    (2, H, W, 3). Batching doubles MXU occupancy for the small realtime
+    net and halves per-call overhead in the fused frame loop.
+    """
+    h, w = a.shape[:2]
+    ph = (32 - h % 32) % 32
+    pw = (32 - w % 32) % 32
+    if model.out_channels == 3:
+        x = jnp.stack([a, b])
+    else:
+        x = jnp.concatenate([a.transpose(2, 0, 1)[..., None],
+                             b.transpose(2, 0, 1)[..., None]])
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+    xin, stats = pre_transform(x, transform)
+    out = model.apply(model_variables, xin, train=False)
+    out = post_transform(out, stats, transform)
+    if model.out_channels == 3:
+        return out[0, :h, :w, :], out[1, :h, :w, :]
+    out = out[:, :h, :w, 0]
+    return out[:3].transpose(1, 2, 0), out[3:].transpose(1, 2, 0)
+
+
 class AIAccelerator:
     """In-engine denoiser: runs the model on SimulationOutputHDR every step
     and exposes HDR + tone-mapped outputs (the ENABLED version of the
@@ -93,17 +122,17 @@ class AIAccelerator:
         self.last_blend: jax.Array | None = None  # k used on the last step (auto mode)
         if blend == "auto":
             # Self-calibrating blend from the dual-tracer pair
-            # (nn.infer.blend_from_pair): denoise tracer A, calibrate k
-            # against tracer B, display the k-blended denoised mean. One
-            # fused jit; k costs two dot products.
-            from ..nn.infer import blend_from_pair
+            # (nn.infer.blend_pair_symmetric): denoise BOTH tracers, display
+            # the k-blended pair mean with k cross-calibrated from the pair.
+            # Same two UNet passes as before, but calibration and display now
+            # use the same residual (ADVICE r3 #1) and both passes contribute
+            # to the displayed image. One fused jit; k costs two dot products.
+            from ..nn.infer import blend_pair_symmetric
 
             def run_auto(variables, a, b):
-                out_a = denoise_hdr(self.model, variables, a, self.transform)
-                k = blend_from_pair(out_a, a, b)
-                x = (a + b) * 0.5
-                out = denoise_hdr(self.model, variables, x, self.transform)
-                return x + k * (out - x), k
+                out_a, out_b = denoise_pair_hdr(self.model, variables, a, b,
+                                                self.transform)
+                return blend_pair_symmetric(out_a, out_b, a, b)
 
             self._run_auto = jax.jit(run_auto)
         else:

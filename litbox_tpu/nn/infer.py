@@ -131,6 +131,44 @@ def fit_blend(run_mono, pairs, rgb: bool = False, tile: int = 256,
     return float(np.clip(num / max(den, 1e-12), 0.0, 1.0))
 
 
+def blend_pair_symmetric(out_a, out_b, a, b, eps: float = 1e-12):
+    """Production auto-blend: denoise BOTH tracers, display the k-blended
+    pair mean. Returns (display, k).
+
+    Let a = ref + e_a, b = ref + e_b with independent zero-mean noise, and
+    d_i = net(i) - i. The displayed image is
+
+        display = x + k * dbar,   x = (a+b)/2,  dbar = (d_a+d_b)/2
+
+    whose MSE-optimal k is k* = <dbar, ref-x>/<dbar,dbar>. The numerator is
+    estimated without a reference by cross-projection:
+
+        E<d_a, b-x> = E<d_a, (e_b-e_a)/2> = -E<d_a,e_a>/2 = E<d_a, ref-x>
+
+    (e_b independent of d_a), and symmetrically for d_b, so
+
+        N = (<d_a, b-x> + <d_b, a-x>) / 2 = <d_a - d_b, b - a> / 4
+
+    is unbiased for <dbar, ref-x>. This replaces the round-3 composition
+    that calibrated k on tracer A alone but applied it to the mean (the
+    mean has half A's noise variance, so that k was biased high — ADVICE r3
+    #1); here calibration and display use the SAME residual, both UNet
+    passes contribute to the display, and k -> 0 on converged inputs.
+    Works for numpy and jnp arrays.
+    """
+    d_a = out_a - a
+    d_b = out_b - b
+    dbar = (d_a + d_b) * 0.5
+    num = ((d_a - d_b) * (b - a)).sum() * 0.25
+    den = (dbar * dbar).sum()
+    x = (a + b) * 0.5
+    if isinstance(num, np.ndarray) or np.isscalar(num):
+        k = float(np.clip(num / max(float(den), eps), 0.0, 1.0))
+    else:
+        k = jnp.clip(num / jnp.maximum(den, eps), 0.0, 1.0)
+    return x + k * dbar, k
+
+
 def blend_from_pair(out, x, other, eps: float = 1e-12):
     """Per-image residual-blend factor self-calibrated from the tracer pair.
 

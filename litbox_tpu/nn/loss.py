@@ -37,6 +37,21 @@ class HdrLossConfig:
     # single bright crop dominates every gradient at short-budget learning
     # rates; the reference absorbs this with lr 1e-5 over days.
     weight_cap: float | None = None
+    # Normalize the adaptive-L2 term by the batch-mean weight: keeps the
+    # reference's RELATIVE bright-pixel emphasis but pins the loss scale to
+    # MSE units. Round-3 training without this oscillated over 4 orders of
+    # magnitude batch-to-batch (runs/phase2_r3.log) because a single bright
+    # crop rescales the whole objective.
+    normalize_weights: bool = False
+    # Weight of a relative-error (log-space) L1 term:
+    #   mean |log2(relu(pred)+eps) - log2(target+eps)|.
+    # Targets the black floor: in 8-bit gamma space a linear error of 2e-4
+    # in a zero region is ~5/255 of glow, which halved golden SSIM in r3
+    # (runs/diag_ssim.py: all SSIM loss sits at ref-lum < 0.02) while being
+    # invisible to linear L2/L1. Relative error makes dark-region accuracy
+    # scale-free.
+    log_l1: float = 0.0
+    log_eps: float = 1e-5
 
 
 def hdr_loss(pred: jax.Array, target: jax.Array,
@@ -44,6 +59,9 @@ def hdr_loss(pred: jax.Array, target: jax.Array,
     weights = (target + cfg.base_weight) ** cfg.alpha
     if cfg.weight_cap is not None:
         weights = jnp.minimum(weights, cfg.weight_cap)
+    if cfg.normalize_weights:
+        weights = weights / jax.lax.stop_gradient(
+            jnp.maximum(weights.mean(), 1e-12))
     adaptive_l2 = jnp.mean(weights * (pred - target) ** 2)
 
     gx_p = _depthwise3x3(pred, SOBEL_X)
@@ -53,7 +71,12 @@ def hdr_loss(pred: jax.Array, target: jax.Array,
     gradient = jnp.mean(jnp.abs(gx_p - gx_t)) + jnp.mean(jnp.abs(gy_p - gy_t))
 
     l1 = jnp.mean(jnp.abs(pred - target))
-    return adaptive_l2 + cfg.beta * gradient + cfg.gamma * l1
+    loss = adaptive_l2 + cfg.beta * gradient + cfg.gamma * l1
+    if cfg.log_l1:
+        rel = jnp.abs(jnp.log2(jnp.maximum(pred, 0.0) + cfg.log_eps)
+                      - jnp.log2(jnp.maximum(target, 0.0) + cfg.log_eps))
+        loss = loss + cfg.log_l1 * jnp.mean(rel)
+    return loss
 
 
 def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jax.Array:

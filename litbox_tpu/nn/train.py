@@ -35,6 +35,13 @@ class TrainConfig:
     use_sigmoid: bool = False
     global_residual: bool = False
     learn_rate: float = 1e-5
+    # Optional cosine decay: learn_rate -> lr_min over lr_decay_steps, then
+    # flat at lr_min (0 = constant lr, the reference behavior). Short-budget
+    # training (hours, not the reference's days at 1e-5) needs a hot start
+    # and a cool tail to settle BN statistics.
+    lr_decay_steps: int = 0
+    lr_min: float = 1e-6
+    warmup_steps: int = 0
     weight_decay: float = 0.01
     grad_clip: float = 1.0
     batch_size: int = 4
@@ -82,10 +89,17 @@ class Trainer:
         # (not AdamW): add_decayed_weights BEFORE the adam transform. The
         # global-norm clip guards the HDR-weighted L2 loss, whose gradient
         # scale follows the scene's (unbounded) radiance range.
+        if cfg.lr_decay_steps:
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=cfg.learn_rate * 0.1 if cfg.warmup_steps else cfg.learn_rate,
+                peak_value=cfg.learn_rate, warmup_steps=cfg.warmup_steps,
+                decay_steps=cfg.lr_decay_steps, end_value=cfg.lr_min)
+        else:
+            lr = cfg.learn_rate
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip) if cfg.grad_clip else optax.identity(),
             optax.add_decayed_weights(cfg.weight_decay),
-            optax.adam(cfg.learn_rate),
+            optax.adam(lr),
         )
         self.opt_state = self.tx.init(self.params)
         self._step = self._build_step()

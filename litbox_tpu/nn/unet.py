@@ -166,7 +166,10 @@ def post_transform(x: jax.Array, stats: Any, cfg: TransformConfig) -> jax.Array:
         mean, std = stats
         x = x * (std + cfg.epsilon) + mean
     if cfg.use_log_space:
-        x = jnp.exp2(x) - cfg.epsilon
+        # Clip the exponent: 2^40 ~ 1e12 is far beyond any radiance and an
+        # unclipped training spike would overflow f32 to inf (the loss then
+        # poisons Adam state for the rest of the run).
+        x = jnp.exp2(jnp.clip(x, -40.0, 40.0)) - cfg.epsilon
     return x
 
 

@@ -24,7 +24,12 @@ if "--cpu" in sys.argv:
 import numpy as np
 
 dataset_dir = sorted(glob.glob("/root/repo/runs/dataset_r2/*"))[-1]
-ckpt = next((a for a in sys.argv[1:] if not a.startswith("--")),
+# Exclude flag VALUES when scanning for the positional checkpoint, or
+# `--report X.md` with no checkpoint loads X.md as the model (ADVICE r3).
+_flag_vals = {sys.argv[sys.argv.index(f) + 1]
+              for f in ("--report",) if f in sys.argv}
+ckpt = next((a for a in sys.argv[1:]
+             if not a.startswith("--") and a not in _flag_vals),
             "/root/repo/runs/denoiser_r2/model_final.npz")
 report = None
 if "--report" in sys.argv:

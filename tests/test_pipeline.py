@@ -88,6 +88,58 @@ def test_ai_accelerator_auto_blend():
     ai.detach()
 
 
+def test_blend_pair_symmetric_semantics():
+    """Production auto-blend (r4): k is calibrated for the SAME residual it
+    blends (ADVICE r3 #1). Perfect denoiser -> k ~ 1 and display ~ ref;
+    harmful correction -> k ~ 0 and display ~ pair mean."""
+    import numpy as np
+
+    from litbox_tpu.nn.infer import blend_pair_symmetric
+
+    rng = np.random.default_rng(7)
+    ref = rng.uniform(0.2, 1.0, (64, 64, 3)).astype(np.float32)
+    a = ref + rng.normal(0, 0.1, ref.shape).astype(np.float32)
+    b = ref + rng.normal(0, 0.1, ref.shape).astype(np.float32)
+    x = (a + b) * 0.5
+
+    disp, k = blend_pair_symmetric(ref, ref, a, b)
+    assert k > 0.9
+    assert ((disp - ref) ** 2).mean() < ((x - ref) ** 2).mean() * 0.1
+
+    bias = rng.normal(0, 0.3, ref.shape).astype(np.float32)
+    disp, k = blend_pair_symmetric(a + bias, b + bias, a, b)
+    assert k < 0.15
+    assert ((disp - ref) ** 2).mean() < ((x + bias * k - ref) ** 2).mean() + 1e-5
+
+    # Degenerate no-op denoiser: d == 0, display falls back to the mean.
+    disp, k = blend_pair_symmetric(a, b, a, b)
+    assert 0.0 <= float(k) <= 1.0
+    np.testing.assert_allclose(disp, x, rtol=1e-5, atol=1e-6)
+
+
+def test_blend_pair_symmetric_never_hurts_in_expectation():
+    """Monte-Carlo check of the estimator's calibration: over many noise
+    draws, the blended display's MSE must not exceed the pair mean's."""
+    import numpy as np
+
+    from litbox_tpu.nn.infer import blend_pair_symmetric
+
+    rng = np.random.default_rng(3)
+    ref = rng.uniform(0.1, 1.0, (32, 32, 3)).astype(np.float32)
+    mse_x, mse_d = [], []
+    for _ in range(30):
+        a = ref + rng.normal(0, 0.2, ref.shape).astype(np.float32)
+        b = ref + rng.normal(0, 0.2, ref.shape).astype(np.float32)
+        # Half-good denoiser: removes half the noise, adds a small bias.
+        out_a = 0.5 * (a + ref) + 0.02
+        out_b = 0.5 * (b + ref) + 0.02
+        disp, _ = blend_pair_symmetric(out_a, out_b, a, b)
+        x = (a + b) * 0.5
+        mse_x.append(((x - ref) ** 2).mean())
+        mse_d.append(((disp - ref) ** 2).mean())
+    assert np.mean(mse_d) <= np.mean(mse_x) * 1.01
+
+
 def test_blend_from_pair_semantics():
     """k -> optimal shrinkage: 0 for a harmful correction, ~1 when the
     correction exactly cancels noise the other tracer doesn't share."""
