@@ -52,10 +52,22 @@ class HdrLossConfig:
     # scale-free.
     log_l1: float = 0.0
     log_eps: float = 1e-5
+    # Compute the adaptive-L2/gradient/L1 terms on range-compressed values:
+    # 'log1p' maps x -> log2(1 + x). Realtime-tier training inputs are
+    # single-frame MC renders whose isolated deposit texels reach 1e3-1e4x
+    # the exposure-normalized mean; in linear space those few texels ARE the
+    # loss (r4 pilot: batch loss swung 0.85 -> 37k with normalized weights),
+    # so the gradient signal is outlier-gated. log1p keeps darks linear
+    # (log2(1+x) ~ x/ln2 for small x) while compressing spikes to O(10).
+    compress: str = "none"
 
 
 def hdr_loss(pred: jax.Array, target: jax.Array,
              cfg: HdrLossConfig = HdrLossConfig()) -> jax.Array:
+    raw_pred, raw_target = pred, target
+    if cfg.compress == "log1p":
+        pred = jnp.log2(1.0 + jnp.maximum(pred, -0.5))
+        target = jnp.log2(1.0 + jnp.maximum(target, 0.0))
     weights = (target + cfg.base_weight) ** cfg.alpha
     if cfg.weight_cap is not None:
         weights = jnp.minimum(weights, cfg.weight_cap)
@@ -73,8 +85,8 @@ def hdr_loss(pred: jax.Array, target: jax.Array,
     l1 = jnp.mean(jnp.abs(pred - target))
     loss = adaptive_l2 + cfg.beta * gradient + cfg.gamma * l1
     if cfg.log_l1:
-        rel = jnp.abs(jnp.log2(jnp.maximum(pred, 0.0) + cfg.log_eps)
-                      - jnp.log2(jnp.maximum(target, 0.0) + cfg.log_eps))
+        rel = jnp.abs(jnp.log2(jnp.maximum(raw_pred, 0.0) + cfg.log_eps)
+                      - jnp.log2(jnp.maximum(raw_target, 0.0) + cfg.log_eps))
         loss = loss + cfg.log_l1 * jnp.mean(rel)
     return loss
 

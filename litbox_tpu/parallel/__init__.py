@@ -1,3 +1,11 @@
+from .rbt_bins import (
+    BinShardedFields,
+    bins_resolve,
+    bins_trace_frame,
+    make_bins_mesh,
+    shard_fields_bins,
+    zero_sources_bins,
+)
 from .rbt_sharded import (
     sharded_rbt_resolve,
     sharded_rbt_resolve_bins,
@@ -13,4 +21,10 @@ __all__ = [
     "sharded_rbt_resolve",
     "sharded_rbt_resolve_bins",
     "zero_sources_sharded",
+    "BinShardedFields",
+    "make_bins_mesh",
+    "shard_fields_bins",
+    "zero_sources_bins",
+    "bins_trace_frame",
+    "bins_resolve",
 ]

@@ -1,0 +1,518 @@
+"""Bin-axis FULLY-sharded RBT: fields, sources, AND resolve scale as D/n.
+
+`parallel/rbt_sharded.py` scales *throughput*: every device traces a full
+independent estimate, so the big per-device state — RotatedFields.trans /
+cum_log ((D, S, S) each) and the source buffers (3 x (D, S, S)) — is
+replicated, ~1 GB at S=640/D=128 f32 (VERDICT r3 weak #7). This module
+scales *resolution*: the angular-bin axis is sharded across the mesh so
+per-device field + source memory is proportional to D/n, completing the
+SURVEY §5 lightmap-scaling story (the reference's analog is splitting the
+lightmap UAV across GPUs, which its single-GPU design never does —
+Simulation.cs keeps one RenderTexture set).
+
+Design (TPU-first, shard_map + ICI collectives; no reference translation):
+
+  * every big (D, ...) array — trans, cum_log, cum_coarse, sources — is
+    laid out (n, D/n, ...) and sharded P('shard') on the leading axis;
+    cos/sin/center/phase stay replicated (D floats are nothing).
+  * DIRECT phase (stratified point-light histogram): direction-stratified
+    emission assigns photons to bins BY CONSTRUCTION (emit_point_stratified,
+    sim/rbt.py hist path), so each device emits and deposits only its own
+    bin slice — fully local, zero collective traffic, and the union over
+    devices is exactly the unsharded photon population.
+  * BOUNCE waves: a scattered photon's new direction lands in an arbitrary
+    bin, so its free flight needs a cum_log row some other device owns.
+    Photons ride an ICI RING (n ppermute hops): each hop, a device flies
+    the arriving photons whose bin falls in its slice (row gather +
+    _row_flight_math on LOCAL cum_log); after n hops every photon has flown
+    exactly once and is back home. Material scatter/energy updates happen
+    at home between waves (they touch only the small replicated GBuffer).
+  * Bounce DEPOSITS are global-bin records; they ride the same ring once
+    per frame, each device scatter-adding the records that fall in its
+    slice as they pass (n small scatters of the record stream).
+  * RESOLVE: per-device scan + rotate-back of the LOCAL D/n bins (the
+    per-bin work is embarrassingly parallel), then one (H, W, 3) psum.
+
+Randomness mirrors sim/rbt.py's sequence exactly — every device draws the
+FULL-shape randoms from the same key and slices its rows — so a bins-
+sharded frame equals the unsharded rbt_trace_frame + resolve_raw on the
+same key to f32 scatter-order tolerance (tests/test_parallel.py), and the
+RNG cost (a few MB of uniforms) is trivial next to flight row math.
+
+Trade-off, stated plainly: ring flight runs the row-flight math on the
+full arriving record block every hop (masked), so bounce-wave compute does
+NOT scale with n — this mode buys MEMORY (resolution headroom), while
+'data'-axis sharding (rbt_sharded.py) buys throughput. The two compose:
+mesh ('ensemble', 'shard') here, with 'data' available for the dual use.
+
+Scope: the production realtime scene class — point lights with
+mc_direct histogram direct + stratified bounce chains (what bench.py and
+the 1080p pipeline trace). Analytic/collimated paths assert off.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import GBuffer, pytree_dataclass
+from ..ops.resample import gather_bilinear_mxu
+from ..sim.emission import (
+    assign_photons_to_lights,
+    emit_point_stratified,
+    take_per_light,
+)
+from ..sim.materials import TWO_PI, scatter_materially, unit_from_angle
+from ..core.types import affine_linear
+from ..sim.rbt import (
+    ANALYTIC_STAMP,
+    RotatedFields,
+    _row_flight_math,
+    _rotated_coords,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def make_bins_mesh(n_devices: int | None = None, ensemble: int = 1):
+    """Mesh ('ensemble', 'shard'): dual-tracer rows x bin-slice columns."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devices)
+    if n % ensemble:
+        raise ValueError(f"{n} devices not divisible by ensemble={ensemble}")
+    arr = np.asarray(devices).reshape(ensemble, n // ensemble)
+    return Mesh(arr, axis_names=("ensemble", "shard"))
+
+
+@pytree_dataclass
+class BinShardedFields:
+    """RotatedFields with the big (D, S, S) arrays sharded over 'shard'.
+
+    trans/cum_log/cum_coarse carry a leading mesh dimension (n, D/n, ...);
+    cos/sin/center/phase are replicated full-size so any device can do
+    angle math for any global bin.
+    """
+
+    cos: jax.Array         # (D,) replicated
+    sin: jax.Array         # (D,) replicated
+    trans: jax.Array       # (n, D/n, S, S) P('shard')
+    cum_log: jax.Array     # (n, D/n, S, S) P('shard')
+    cum_coarse: jax.Array  # (n, D/n, S, S/COARSE) P('shard')
+    center: jax.Array      # (2,)
+    phase: jax.Array       # ()
+
+    @property
+    def n_bins(self) -> int:
+        return self.cos.shape[0]
+
+    @property
+    def size(self) -> int:
+        return self.trans.shape[-1]
+
+
+def shard_fields_bins(mesh, fields: RotatedFields) -> BinShardedFields:
+    """Slice a full RotatedFields over the 'shard' axis of the mesh.
+
+    After this the full fields can be dropped; per-device field memory is
+    (D/n) * S * S * (2 + 1/COARSE) floats.
+    """
+    n = mesh.shape["shard"]
+    d = fields.n_bins
+    assert d % n == 0, (d, n)
+    dl = d // n
+    put = lambda a: jax.device_put(
+        a.reshape((n, dl) + a.shape[1:]), NamedSharding(mesh, P("shard")))
+    return BinShardedFields(
+        cos=fields.cos, sin=fields.sin,
+        trans=put(fields.trans), cum_log=put(fields.cum_log),
+        cum_coarse=put(fields.cum_coarse),
+        center=fields.center, phase=fields.phase)
+
+
+def zero_sources_bins(mesh, fields: BinShardedFields):
+    """Per-channel source buffers (E, n, 3, D/n, S, S), bins sharded."""
+    e = mesh.shape["ensemble"]
+    n, dl, s = fields.trans.shape[0], fields.trans.shape[1], fields.size
+    zeros = jnp.zeros((e, n, 3, dl, s, s))
+    return jax.device_put(zeros, NamedSharding(mesh, P("ensemble", "shard")))
+
+
+def _hist_direct_local(lights, fields: BinShardedFields, bin_lo, d_local: int,
+                       n_photons: int, key, override_bounces,
+                       pixel_count: float):
+    """Local-bin slice of sim.rbt._mc_point_hist_deposits.
+
+    Draws the full (D, cap, 2) uniforms from `key` (mirroring the unsharded
+    sequence) and keeps rows [bin_lo, bin_lo + d_local); energy divides by
+    the GLOBAL ray count cap * D, so the union over devices reproduces the
+    unsharded estimator exactly. Returns (flat_local, vals, n_emitted)."""
+    d_bins, s = fields.n_bins, fields.size
+    capacity = lights.capacity
+    stamp = ANALYTIC_STAMP
+    cap = -(-n_photons // d_bins)
+    n_emitted = cap * d_bins
+
+    l_of_slot, slots = assign_photons_to_lights(lights, cap)
+    aff = take_per_light(lights.affine, l_of_slot)
+    rel_slot = aff[:, :, 2] - fields.center
+
+    u = jax.random.uniform(key, (d_bins, cap, 2))
+    u = jax.lax.dynamic_slice_in_dim(u, bin_lo, d_local, axis=0)
+    disk = unit_from_angle(u[..., 0] * TWO_PI) * jnp.sqrt(u[..., 1])[..., None]
+    off = affine_linear(aff[None], disk)                       # (Dl, cap, 2)
+
+    cos_l = jax.lax.dynamic_slice_in_dim(fields.cos, bin_lo, d_local)
+    sin_l = jax.lax.dynamic_slice_in_dim(fields.sin, bin_lo, d_local)
+
+    centers = lights.affine[:, :, 2]
+    relc = centers - fields.center
+    cb, sb = cos_l[:, None], sin_l[:, None]                    # (Dl, 1)
+    cxl = cb * relc[None, :, 0] + sb * relc[None, :, 1] + s / 2.0
+    cyl = -sb * relc[None, :, 0] + cb * relc[None, :, 1] + s / 2.0
+    axl = jnp.clip(jnp.floor(cxl).astype(jnp.int32) - stamp // 2, 0, s - stamp)
+    ayl = jnp.clip(jnp.floor(cyl).astype(jnp.int32) - stamp // 2, 0, s - stamp)
+
+    xr = (cb * rel_slot[None, :, 0] + sb * rel_slot[None, :, 1] + s / 2.0
+          + cb * off[..., 0] + sb * off[..., 1])
+    yr = (-sb * rel_slot[None, :, 0] + cb * rel_slot[None, :, 1] + s / 2.0
+          - sb * off[..., 0] + cb * off[..., 1])
+    ix = jnp.floor(xr).astype(jnp.int32)
+    iy = jnp.floor(yr).astype(jnp.int32)
+    ax_slot = take_per_light(axl.T, l_of_slot).T               # (Dl, cap)
+    ay_slot = take_per_light(ayl.T, l_of_slot).T
+    lx = jnp.clip(ix - ax_slot, 0, stamp - 1)
+    ly = jnp.clip(iy - ay_slot, 0, stamp - 1)
+    col = l_of_slot[None] * (stamp * stamp) + ly * stamp + lx
+
+    counts = jnp.sum(
+        jax.nn.one_hot(col, capacity * stamp * stamp, dtype=jnp.float32),
+        axis=1).reshape(d_local, capacity, stamp * stamp)
+
+    bounces_l = jnp.where(override_bounces >= 0, override_bounces,
+                          lights.bounces)
+    rays_l = jnp.maximum(slots * d_bins, 1).astype(jnp.float32)  # GLOBAL
+    e_l = (lights.energy * (pixel_count / TWO_PI) / rays_l[:, None]
+           * lights.active.astype(jnp.float32)[:, None]
+           * (bounces_l > 0).astype(jnp.float32)[:, None])
+    vals = counts[..., None] * e_l[None, :, None, :]
+
+    oy = jnp.arange(stamp, dtype=jnp.int32)
+    ox = jnp.arange(stamp, dtype=jnp.int32)
+    gy = ayl[:, :, None, None] + oy[None, None, :, None]
+    gx = axl[:, :, None, None] + ox[None, None, None, :]
+    flat = ((jnp.arange(d_local, dtype=jnp.int32)[:, None, None, None] * s
+             + gy) * s + gx)                                   # LOCAL bins
+    return flat.reshape(-1), vals.reshape(-1, 3), n_emitted
+
+
+def _flight_stratified_local(fields: BinShardedFields, cum_local, bin_lo,
+                             pos, live, u_tp):
+    """Wave-0 stratified flight over the LOCAL bin slice (scan over D/n).
+
+    Mirrors sim.rbt._flight_stratified with the bin block's cos/sin sliced
+    from the replicated full vectors."""
+    s = fields.size
+    d_local = cum_local.shape[0]
+    cos_l = jax.lax.dynamic_slice_in_dim(fields.cos, bin_lo, d_local)
+    sin_l = jax.lax.dynamic_slice_in_dim(fields.sin, bin_lo, d_local)
+
+    def per_bin(_, args):
+        cum_d, cb, sb, pos_d, live_d, u_d = args
+        rel = pos_d - fields.center
+        xr = cb * rel[..., 0] + sb * rel[..., 1] + s / 2.0
+        yr = -sb * rel[..., 0] + cb * rel[..., 1] + s / 2.0
+        iy = jnp.clip(jnp.floor(yr).astype(jnp.int32), 0, s - 1)
+        rows = jnp.dot(jax.nn.one_hot(iy, s, dtype=jnp.float32), cum_d,
+                       preferred_element_type=jnp.float32)
+        hit_x, t_esc, found = _row_flight_math(rows, xr, u_d, live_d, s)
+        hx = hit_x - s / 2.0
+        hy = yr - s / 2.0
+        p_hit = (jnp.stack([cb * hx - sb * hy, sb * hx + cb * hy], -1)
+                 + fields.center)
+        return 0, (p_hit, t_esc, found)
+
+    _, out = jax.lax.scan(per_bin, 0,
+                          (cum_local, cos_l, sin_l, pos, live, u_tp))
+    return out
+
+
+def _ring_flight(fields: BinShardedFields, cum_local, pos, direction, live,
+                 u_tp, axis: str):
+    """Free flight with arbitrary directions over bin-sharded cum_log.
+
+    Precomputes all angle math at home, then sends (row-query, accumulator)
+    records around the ICI ring; each hop flies the arriving photons whose
+    bin is local. n hops return every record home, flown exactly once."""
+    d_bins, s = fields.n_bins, fields.size
+    n = jax.lax.axis_size(axis)
+    d_local = cum_local.shape[0]
+    bin_lo = jax.lax.axis_index(axis) * d_local
+    bin_width = 2 * jnp.pi / d_bins
+
+    theta = jnp.arctan2(direction[:, 1], direction[:, 0])
+    b = jnp.round(theta / bin_width - fields.phase).astype(jnp.int32) % d_bins
+    ang = (b.astype(jnp.float32) + fields.phase) * bin_width
+    cb, sb = jnp.cos(ang), jnp.sin(ang)
+    xr, yr = _rotated_coords(fields, pos, cb, sb)
+    iy = jnp.clip(jnp.floor(yr).astype(jnp.int32), 0, s - 1)
+
+    m = pos.shape[0]
+    hit_x = jnp.zeros(m)
+    t_esc = jnp.zeros(m)
+    found = jnp.zeros(m, bool)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    state = (b, iy, xr, u_tp, live, hit_x, t_esc, found)
+    for _ in range(n):
+        b_c, iy_c, xr_c, u_c, live_c, hx_c, te_c, fd_c = state
+        local = live_c & (b_c >= bin_lo) & (b_c < bin_lo + d_local)
+        lb = jnp.clip(b_c - bin_lo, 0, d_local - 1)
+        rows = cum_local.reshape(d_local * s, s)[lb * s + iy_c]
+        hx_s, te_s, fd_s = _row_flight_math(rows, xr_c, u_c, local, s)
+        hx_c = jnp.where(local, hx_s, hx_c)
+        te_c = jnp.where(local, te_s, te_c)
+        fd_c = fd_c | fd_s
+        state = jax.lax.ppermute(
+            (b_c, iy_c, xr_c, u_c, live_c, hx_c, te_c, fd_c), axis, perm)
+    _, _, _, _, _, hit_x, t_esc, found = state
+
+    hx = hit_x - s / 2.0
+    hy = yr - s / 2.0
+    p_hit = jnp.stack([cb * hx - sb * hy, sb * hx + cb * hy], -1) + fields.center
+    return p_hit, t_esc, found
+
+
+def _ring_scatter(src_local, flat_global, vals, d_local: int, s: int,
+                  axis: str):
+    """Scatter global-bin deposit records into bin-sharded sources.
+
+    The record stream rides the ring once; each device adds the records
+    falling in its slice. Equivalent to _inject_flat on the full buffers
+    (up to f32 add order)."""
+    n = jax.lax.axis_size(axis)
+    lo_flat = jax.lax.axis_index(axis) * d_local * s * s
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    span = d_local * s * s
+
+    state = (flat_global, vals)
+    for _ in range(n):
+        flat_c, vals_c = state
+        sel = (flat_c >= lo_flat) & (flat_c < lo_flat + span)
+        idx = jnp.where(sel, flat_c - lo_flat, 0)
+        out = []
+        for c in range(3):
+            ch = src_local[c]
+            val = jnp.where(sel, vals_c[:, c], 0.0)
+            out.append(ch.reshape(-1).at[idx].add(val).reshape(ch.shape))
+        src_local = tuple(out)
+        state = jax.lax.ppermute((flat_c, vals_c), axis, perm)
+    return src_local
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "n_photons", "max_bounces", "bounce_photons", "enable_brdf"),
+    donate_argnames=("src",))
+def bins_trace_frame(mesh, fields: BinShardedFields, src, gbuffer: GBuffer,
+                     lights, brdf_lut, key, n_photons: int, override_bounces,
+                     max_bounces: int = 4, bounce_photons: int = 0,
+                     enable_brdf: bool = True):
+    """Trace one frame into bin-sharded sources (all-point-light scenes:
+    the hist_direct + stratified-bounce production path of
+    sim.rbt.rbt_trace_frame, re-partitioned over the 'shard' mesh axis).
+
+    Returns (src, photons_emitted). Mirrors rbt_trace_frame's RNG sequence
+    (same key -> same photon population as the unsharded tracer)."""
+    e = mesh.shape["ensemble"]
+    n = mesh.shape["shard"]
+    d_bins, s = fields.n_bins, fields.size
+    height, width = gbuffer.transmissibility.shape
+    d_local = d_bins // n
+    keys = jnp.stack([jax.random.fold_in(key, i) for i in range(e)])
+    material = jnp.concatenate([gbuffer.normal, gbuffer.albedo[..., :3]], -1)
+
+    def per_device(keys_blk, src_blk, cum_blk):
+        key_d = keys_blk.reshape(())
+        cum_local = cum_blk[0]
+        src_local = tuple(src_blk[0, 0, c] for c in range(3))
+        bin_lo = jax.lax.axis_index("shard") * d_local
+        k_direct, k_bounce = jax.random.split(key_d)
+
+        # --- DIRECT: stratified histogram, local bins only ---
+        flat_dir, vals_dir, n_emitted = _hist_direct_local(
+            lights, fields, bin_lo, d_local, n_photons, k_direct,
+            override_bounces, float(width * height))
+        out = []
+        for c in range(3):
+            ch = src_local[c]
+            out.append(ch.reshape(-1).at[flat_dir].add(
+                vals_dir[:, c]).reshape(ch.shape))
+        src_local = tuple(out)
+
+        # --- BOUNCE chains (mirrors _bounce_chain_deposits, stratified) ---
+        all_flat, all_vals = [], []
+        if max_bounces >= 2:
+            k_chains = (bounce_photons
+                        if 0 < bounce_photons < n_photons else n_photons)
+            cap = -(-k_chains // d_bins)
+            k_emit, key_b = jax.random.split(k_bounce)
+            l_of_slot, slots = assign_photons_to_lights(lights, cap)
+            pos, direction, energy, bounces = emit_point_stratified(
+                lights, l_of_slot, slots, d_bins, fields.phase, k_emit,
+                (height, width), jnp.float32(1.0), override_bounces)
+            key_b, k_tp = jax.random.split(key_b)
+            u_tp0 = jax.random.uniform(k_tp, bounces.shape)  # full (D, cap)
+
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                a, bin_lo, d_local, axis=0)
+            pos, direction, energy, bounces, u_tp0 = map(
+                sl, (pos, direction, energy, bounces, u_tp0))
+            live0 = 0 < bounces
+            p_hit, t_esc, found = _flight_stratified_local(
+                fields, cum_local, bin_lo, pos, live0, u_tp0)
+            flat = lambda a: a.reshape((d_local * cap,) + a.shape[2:])
+            pos, direction, energy, bounces = map(
+                flat, (pos, direction, energy, bounces))
+            wave0 = (flat(p_hit), flat(t_esc), flat(found))
+
+            m_full = d_bins * cap  # full-shape draws mirror the unsharded RNG
+            row0 = bin_lo * cap
+            m = d_local * cap
+            dead = jnp.zeros(m, bool)
+            for wave in range(max_bounces - 1):
+                key_b, k_tp, k_scatter = jax.random.split(key_b, 3)
+                live = (~dead) & (wave < bounces)
+                if wave == 0:
+                    p_hit, t_esc, found = wave0
+                else:
+                    u_tp = jax.lax.dynamic_slice_in_dim(
+                        jax.random.uniform(k_tp, (m_full,)), row0, m)
+                    p_hit, t_esc, found = _ring_flight(
+                        fields, cum_local, pos, direction, live, u_tp,
+                        "shard")
+                dead = dead | (live & ~found)
+
+                if jax.default_backend() == "tpu":
+                    centers = jnp.stack(
+                        [jnp.clip(jnp.floor(p_hit[:, 0]), 0, width - 1) + 0.5,
+                         jnp.clip(jnp.floor(p_hit[:, 1]), 0, height - 1) + 0.5],
+                        -1)
+                    mat = gather_bilinear_mxu(material, centers)
+                else:
+                    gx = jnp.clip(jnp.floor(p_hit[:, 0]).astype(jnp.int32),
+                                  0, width - 1)
+                    gy = jnp.clip(jnp.floor(p_hit[:, 1]).astype(jnp.int32),
+                                  0, height - 1)
+                    mat = material[gy, gx]
+
+                rand3 = jax.lax.dynamic_slice_in_dim(
+                    jax.random.uniform(k_scatter, (m_full, 3)), row0, m)
+                new_dir, mat_scale, pushback = scatter_materially(
+                    brdf_lut, mat[:, :4], direction, rand3, fast=True,
+                    enable_brdf=enable_brdf)
+                bounced = found
+                energy = jnp.where(
+                    bounced[:, None],
+                    energy * mat[:, 4:7] * ((1.0 - t_esc) * mat_scale)[:, None],
+                    energy)
+                pos = jnp.where(bounced[:, None], p_hit + pushback + new_dir,
+                                pos)
+                direction = jnp.where(bounced[:, None], new_dir, direction)
+
+                live_next = (~dead) & (wave + 1 < bounces)
+                bin_width = 2 * jnp.pi / d_bins
+                theta = jnp.arctan2(direction[:, 1], direction[:, 0])
+                bb = (jnp.round(theta / bin_width - fields.phase)
+                      .astype(jnp.int32) % d_bins)
+                ang = (bb.astype(jnp.float32) + fields.phase) * bin_width
+                xr, yr = _rotated_coords(fields, pos, jnp.cos(ang),
+                                         jnp.sin(ang))
+                ix = jnp.clip(jnp.floor(xr).astype(jnp.int32), 0, s - 1)
+                iy = jnp.clip(jnp.floor(yr).astype(jnp.int32), 0, s - 1)
+                all_flat.append((bb * s + iy) * s + ix)
+                all_vals.append(jnp.where(live_next[:, None], energy, 0.0))
+
+        if all_flat:
+            src_local = _ring_scatter(
+                src_local, jnp.concatenate(all_flat),
+                jnp.concatenate(all_vals), d_local, s, "shard")
+        total = jnp.int32(n_emitted)
+        return jnp.stack(src_local)[None, None], total[None, None]
+
+    src, n_out = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P("ensemble"), P("ensemble", "shard"), P("shard")),
+        out_specs=(P("ensemble", "shard"), P("ensemble", "shard")),
+        check_vma=False,
+    )(keys, src, fields.cum_log)
+    return src, n_out[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "height", "width"))
+def bins_resolve(mesh, fields: BinShardedFields, src, height: int,
+                 width: int):
+    """Resolve bin-sharded sources: local scan + rotate-back of the D/n
+    local bins, one (H, W, 3) psum. Returns (E, H, W, 3)."""
+    d_total, s = fields.n_bins, fields.size
+
+    def per_device(src_blk, trans_blk):
+        trans = trans_blk[0]
+        d_local = trans.shape[0]
+        i = jax.lax.axis_index("shard")
+        src_local = tuple(src_blk[0, 0, c] for c in range(3))
+
+        bin_ids = i * d_local + jnp.arange(d_local, dtype=jnp.float32)
+        theta = (bin_ids + fields.phase) * (2.0 * jnp.pi / d_total)
+
+        if jax.default_backend() == "tpu" and s % 128 == 0 and d_local >= 8:
+            from ..ops.attnscan import attenuation_scan_rows
+            from ..ops.rotate import rotate_bins
+
+            dep = attenuation_scan_rows(trans, *src_local)
+            deposited = jnp.stack(dep, axis=-1)
+            oy = (s - height) // 2
+            ox = (s - width) // 2
+            lo = (oy // 64) * 64
+            hi = min(-(-(oy + height) // 64) * 64, s)
+            rotated = rotate_bins(deposited, -theta, reduce_rows=(lo, hi))
+            partial = rotated[oy - lo:oy - lo + height, ox:ox + width]
+        else:
+            sqrt_t = jnp.sqrt(trans)
+
+            def combine(a, b):
+                return (a[0] * b[0], a[1] * b[0] + b[1])
+
+            deps = []
+            for c in range(3):
+                _, dep = jax.lax.associative_scan(
+                    combine, (trans, src_local[c] * sqrt_t), axis=2)
+                deps.append(dep)
+            deposited = jnp.stack(deps, axis=-1)
+            ys, xs = jnp.mgrid[0:height, 0:width]
+            p = (jnp.stack([xs + 0.5, ys + 0.5], -1)
+                 .reshape(-1, 2).astype(jnp.float32))
+            rel = p - fields.center
+            cb, sb = jnp.cos(theta), jnp.sin(theta)
+
+            def one(args):
+                dep_d, c_d, s_d = args
+                xr = c_d * rel[:, 0] + s_d * rel[:, 1] + s / 2.0
+                yr = -s_d * rel[:, 0] + c_d * rel[:, 1] + s / 2.0
+                return gather_bilinear_mxu(dep_d, jnp.stack([xr, yr], -1))
+
+            per_bin = jax.lax.map(one, (deposited, cb, sb))
+            partial = per_bin.sum(0).reshape(height, width, 3)
+
+        raw = jax.lax.psum(partial, "shard")
+        return raw[None, None]
+
+    raw = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P("ensemble", "shard"), P("shard")),
+        out_specs=P("ensemble", "shard"),
+        check_vma=False,
+    )(src, fields.trans)
+    return raw[:, 0]

@@ -18,8 +18,16 @@ threaded through jit as an ARGUMENT. Closing over any of them bakes it into
 the HLO as a constant and the tunnel's remote-compile endpoint rejects the
 multi-hundred-MB payload (HTTP 413, runs/bench1080_f32.log round 1).
 
+--pair benches the TRUE production frame (VERDICT r3 next #4): BOTH
+tracers trace PHOTONS/2 + BOUNCE/2 each (same total ray budget as the
+single-tracer mode, so the non-denoised estimate has identical variance),
+each keeps its own grouped-resolve cache, and the display runs
+AIAccelerator blend='auto' — one batched UNet pass over the pair
+(engine.pipeline.denoise_pair_hdr), per-frame k from
+nn.infer.blend_pair_symmetric, blended pair mean -> upsample -> tonemap.
+
 Usage: python runs/bench_1080p.py [checkpoint.npz] [--bf16] [--photons N]
-         [--bounce N] [--bins D] [--frames N]
+         [--bounce N] [--bins D] [--frames N] [--pair]
 """
 import functools
 import sys
@@ -262,12 +270,82 @@ def main():
         float(pix)  # the only host sync: forces the whole dispatch chain
         return (time.perf_counter() - t0 - rtt) / n_frames
 
+    # ---- TRUE production frame: dual tracer + auto-blend display ----
+    def trace_half(fields, src, gb, lights, ftex, brdf, key):
+        src, _ = rbt.rbt_trace_frame(
+            fields, src, gb, lights, ftex, brdf, key,
+            PHOTONS // 2, jnp.int32(-1), max_bounces=2,
+            bounce_photons=BOUNCE_PHOTONS // 2, mc_direct=True,
+            analytic_direct=False, enable_brdf=False, light_kinds=(1,),
+            hist_direct=True)
+        return src
+
+    def denoise_pair(a, b, model_vars):
+        from litbox_tpu.engine.pipeline import denoise_pair_hdr
+
+        if use_bf16:
+            a16, b16 = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+        else:
+            a16, b16 = a, b
+        out_a, out_b = denoise_pair_hdr(model, model_vars, a16, b16,
+                                        tcfg.transform)
+        return out_a.astype(jnp.float32), out_b.astype(jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnames=(
+        "src_a", "src_b", "cache_a", "cache_b"))
+    def frame_step_pair(fields, src_a, src_b, cache_a, cache_b, gb, lights,
+                        ftex, brdf, key, r, model_vars):
+        from litbox_tpu.nn.infer import blend_pair_symmetric
+
+        ka, kb = jax.random.split(key)
+        src_a = trace_half(fields, src_a, gb, lights, ftex, brdf, ka)
+        src_b = trace_half(fields, src_b, gb, lights, ftex, brdf, kb)
+        if GROUPS > 1:
+            cache_a, raw_a = resolve_group(fields, src_a, cache_a, r)
+            cache_b, raw_b = resolve_group(fields, src_b, cache_b, r)
+        else:
+            raw_a = resolve(fields, src_a)
+            raw_b = resolve(fields, src_b)
+        iters = (r + 1).astype(jnp.float32)
+        hdr_a = to_hdr(raw_a, iters, gb, finalize_outscatter=True)
+        hdr_b = to_hdr(raw_b, iters, gb, finalize_outscatter=True)
+        out_a, out_b = denoise_pair(hdr_a, hdr_b, model_vars)
+        disp, k = blend_pair_symmetric(out_a, out_b, hdr_a, hdr_b)
+        pix = tonemap_uchimura(upsample(disp) * 0.5,
+                               UchimuraShape())[0, 0, 0]
+        return src_a, src_b, cache_a, cache_b, pix + 0.0 * k
+
+    def pipelined_frames_pair(n_frames: int) -> float:
+        src_a = rbt.zero_sources(fields)
+        src_b = rbt.zero_sources(fields)
+        cache_a = jnp.zeros((GROUPS, SIM_H, SIM_W, 3))
+        cache_b = jnp.zeros((GROUPS, SIM_H, SIM_W, 3))
+        key = jax.random.key(7)
+        src_a, src_b, cache_a, cache_b, pix = frame_step_pair(
+            fields, src_a, src_b, cache_a, cache_b, gb, lights, ftex, brdf,
+            key, jnp.int32(0), variables)
+        float(pix)
+        t0 = time.perf_counter()
+        for r in range(1, n_frames + 1):
+            src_a, src_b, cache_a, cache_b, pix = frame_step_pair(
+                fields, src_a, src_b, cache_a, cache_b, gb, lights, ftex,
+                brdf, jax.random.fold_in(key, r), jnp.int32(r), variables)
+        float(pix)
+        return (time.perf_counter() - t0 - rtt) / n_frames
+
     rtt = measure_rtt()
     print(f"rtt {rtt*1000:.1f} ms  photons {PHOTONS} + {BOUNCE_PHOTONS} bounce, "
           f"bins {N_BINS}, bf16={use_bf16}", flush=True)
     src0 = rbt.zero_sources(fields)
     key = jax.random.key(0)
     lights, ftex = scene.lights, scene.field_textures
+
+    if "--pair" in sys.argv:
+        t_pair = min(pipelined_frames_pair(30) for _ in range(2))
+        print(f"PAIR PIPELINE (dual tracer {PHOTONS//2}+{BOUNCE_PHOTONS//2} "
+              f"x2, auto-blend display): {t_pair*1000:7.2f} ms/frame = "
+              f"{1.0/t_pair:.1f} FPS (target 60)", flush=True)
+        return
 
     def time_fn(name, fn, *args, per_frame=FRAMES):
         float(fn(*args))

@@ -1,0 +1,282 @@
+"""QUALITY.md — the single, atomically-regenerated quality record.
+
+Round 3 left a stale HELDOUT_EVAL.md contradicting the round narrative
+(VERDICT r3 weak #2 / next #7). This script now produces EVERY quality
+table in one run, so no table can be newer or older than another:
+
+  1. GOLDEN   — the reference's own checkpoint_tests PNG pairs (PSNR+SSIM),
+                raw net (k=1) and with the global fit_blend k; f32 and bf16.
+  2. HELD-OUT — accumulated profiles (Input1/Input0) on never-trained
+                scenes, PRODUCTION composition (pair mean + symmetric
+                auto-blend, nn.infer.blend_pair_symmetric) vs the pair-mean
+                baseline — the honest estimator comparison (ADVICE r3 #2:
+                r3's tables blended around a single tracer, which is not
+                what AIAccelerator ships).
+  3. REALTIME — InputRT0/RT1 single-frame tiers, same production
+                composition; the headline table (AIAccelerator.cs:57-84
+                runs the model on every realtime step).
+
+Usage: python runs/quality_report.py CKPT [--dataset DIR] [--out QUALITY.md]
+       [--cpu] [--skip-golden] [--max-scenes N]
+"""
+from __future__ import annotations
+
+import datetime
+import glob
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from litbox_tpu.io.images import read_image_linear
+from litbox_tpu.nn.infer import blend_pair_symmetric, fit_blend, infer_large
+from litbox_tpu.nn.train import Trainer, load_train_config
+
+_flag_vals = {sys.argv[sys.argv.index(f) + 1]
+              for f in ("--dataset", "--out", "--max-scenes")
+              if f in sys.argv}
+CKPT = next(a for a in sys.argv[1:]
+            if not a.startswith("--") and a not in _flag_vals)
+DATASET = (sys.argv[sys.argv.index("--dataset") + 1] if "--dataset" in sys.argv
+           else sorted(glob.glob("/root/repo/runs/dataset_r2/*"))[-1])
+OUT = (sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv
+       else "/root/repo/QUALITY.md")
+MAX_SCENES = (int(sys.argv[sys.argv.index("--max-scenes") + 1])
+              if "--max-scenes" in sys.argv else 10**9)
+GOLDENS = "/root/reference/checkpoint_tests"
+
+
+def sha256(path: str, n: int = 12) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for blk in iter(lambda: f.read(1 << 20), b""):
+            h.update(blk)
+    return h.hexdigest()[:n]
+
+
+def load_eval_fn(bf16: bool = False):
+    trainer = Trainer(load_train_config(CKPT))
+    trainer.load(CKPT)
+    if bf16:
+        import jax
+        import jax.numpy as jnp
+
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+        trainer.params = cast(trainer.params)
+        trainer.batch_stats = cast(trainer.batch_stats)
+        inner = trainer.eval_fn()
+        return (lambda x: inner(jnp.asarray(x).astype(jnp.bfloat16))
+                .astype(jnp.float32)), trainer.cfg.rgb
+    return trainer.eval_fn(), trainer.cfg.rgb
+
+
+def psnr(x, ref, peak):
+    return 10 * np.log10(peak**2 / max(float(((x - ref) ** 2).mean()), 1e-12))
+
+
+def ssim_np(a, b):
+    import jax.numpy as jnp
+
+    from litbox_tpu.nn.loss import ssim
+
+    return float(ssim(jnp.asarray(a[None]), jnp.asarray(b[None])))
+
+
+# ---------- datasets ----------
+refs = sorted(glob.glob(os.path.join(DATASET, "Output_Reference_*.exr")))
+ids = [p.split("_")[-1].split(".")[0] for p in refs]
+held = [i for k, i in enumerate(ids) if k % 8 == 7][:MAX_SCENES]
+train_ids = [i for k, i in enumerate(ids) if k % 8 != 7]
+
+_scales: dict = {}
+
+
+def scene_scale(i):
+    if i not in _scales:
+        r = read_image_linear(os.path.join(DATASET, f"Output_Reference_{i}.exr"))
+        _scales[i] = 0.18 / max(float(r.mean()), 1e-6)
+    return _scales[i]
+
+
+def production_rows(fn, rgb, prefixes):
+    """Per-tier production composition vs pair-mean baseline on held-out."""
+    rows = []
+    for prefix in prefixes:
+        base, den, ks, raw_gain = [], [], [], []
+        n = 0
+        for i in held:
+            pa = os.path.join(DATASET, f"{prefix}_Radiance_A_{i}.exr")
+            pb = os.path.join(DATASET, f"{prefix}_Radiance_B_{i}.exr")
+            if not (os.path.exists(pa) and os.path.exists(pb)):
+                continue
+            s = scene_scale(i)
+            a = read_image_linear(pa) * s
+            b = read_image_linear(pb) * s
+            ref = read_image_linear(
+                os.path.join(DATASET, f"Output_Reference_{i}.exr")) * s
+            peak = max(float(ref.max()), 1e-6)
+            out_a = infer_large(fn, a.astype(np.float32), rgb=rgb)
+            out_b = infer_large(fn, b.astype(np.float32), rgb=rgb)
+            disp, k = blend_pair_symmetric(out_a, out_b, a, b)
+            x = (a + b) * 0.5
+            base.append(psnr(x, ref, peak))
+            den.append(psnr(disp, ref, peak))
+            raw_gain.append(psnr((out_a + out_b) * 0.5, ref, peak) - base[-1])
+            ks.append(float(k))
+            n += 1
+        if not n:
+            continue
+        rows.append(dict(
+            tier=prefix, n=n, base=float(np.mean(base)),
+            prod=float(np.mean(den)),
+            gain=float(np.mean(den) - np.mean(base)),
+            raw_gain=float(np.mean(raw_gain)), k=float(np.mean(ks))))
+        print("tier", rows[-1], flush=True)
+    return rows
+
+
+def golden_pairs():
+    out = []
+    for k in range(10):
+        a = f"{GOLDENS}/png_old/Input_{k}.png"
+        b = f"{GOLDENS}/png_old/Output_{k}.png"
+        if os.path.exists(a) and os.path.exists(b):
+            out.append((f"old/{k}", a, b))
+    for tier in ("easy", "mid", "hard"):
+        for k in (2, 7):
+            a = f"{GOLDENS}/png_{tier}/Input_{k}.png"
+            b = f"{GOLDENS}/png_ref/Output_{k}.png"
+            if os.path.exists(a) and os.path.exists(b):
+                out.append((f"{tier}/{k}", a, b))
+    return out
+
+
+def golden_eval(fn, rgb, blend_k: float = 1.0):
+    """8-bit-space golden metrics (the space the goldens exist in)."""
+    from PIL import Image
+
+    rows = []
+    for name, ap, bp in golden_pairs():
+        noisy = np.asarray(Image.open(ap).convert("RGB"), np.float32)
+        ref = np.asarray(Image.open(bp).convert("RGB"), np.float32)
+        lin = (noisy / 255.0) ** 2.2
+        out = infer_large(fn, lin.astype(np.float32), rgb=rgb, blend=blend_k)
+        den = np.clip(np.clip(out, 0, None) ** (1 / 2.2) * 255.0, 0, 255)
+        rows.append(dict(
+            pair=name,
+            b_psnr=psnr(noisy, ref, 255.0), b_ssim=ssim_np(noisy / 255, ref / 255),
+            d_psnr=psnr(den, ref, 255.0), d_ssim=ssim_np(den / 255, ref / 255)))
+        print("golden", rows[-1], flush=True)
+    return rows
+
+
+def fit_global_blend(fn, rgb):
+    """fit_blend on TRAINING scenes' realtime tier (the exported-model
+    blend knob for pairless consumers like the golden eval)."""
+    def pairs():
+        for i in train_ids[:8]:
+            pr = os.path.join(DATASET, f"InputRT0_Radiance_A_{i}.exr")
+            pf = os.path.join(DATASET, f"Output_Reference_{i}.exr")
+            if not os.path.exists(pr):
+                continue
+            s = scene_scale(i)
+            yield read_image_linear(pr) * s, read_image_linear(pf) * s
+
+    return fit_blend(fn, pairs(), rgb=rgb)
+
+
+def main():
+    fn, rgb = load_eval_fn()
+    lines = []
+    w = lines.append
+    w("# QUALITY — litbox_tpu denoiser quality record")
+    w("")
+    w(f"Generated {datetime.datetime.utcnow().isoformat()}Z by "
+      f"`runs/quality_report.py` (single atomic run — every table below is "
+      f"from the same checkpoint and code state).")
+    w("")
+    w(f"- checkpoint: `{CKPT}` (sha256 `{sha256(CKPT)}`, "
+      f"{os.path.getsize(CKPT) / 1e6:.0f} MB)")
+    w(f"- dataset: `{os.path.basename(DATASET)}` — {len(ids)} scenes, "
+      f"{len(held)} held-out (k % 8 == 7, never trained on)")
+    w("- production inference = `AIAccelerator(blend='auto')`: denoise BOTH "
+      "tracers, display pair mean + k*(d_a+d_b)/2 with k cross-calibrated "
+      "per frame (`nn.infer.blend_pair_symmetric`). Baselines are the "
+      "pair MEAN (what the engine displays without the net) — a ~3 dB "
+      "higher bar than the single-tracer baselines quoted before r4.")
+    w("")
+
+    # ---- realtime + held-out (production composition) ----
+    w("## Realtime tiers (production regime, held-out scenes)")
+    w("")
+    w("| tier | n | pair-mean dB | production dB | gain | raw-net gain | mean k |")
+    w("|---|---|---|---|---|---|---|")
+    rt = production_rows(fn, rgb, ("InputRT0", "InputRT1"))
+    for r in rt:
+        w(f"| {r['tier']} | {r['n']} | {r['base']:.2f} | {r['prod']:.2f} | "
+          f"**{r['gain']:+.2f}** | {r['raw_gain']:+.2f} | {r['k']:.2f} |")
+    w("")
+    w("## Accumulated profiles (held-out scenes)")
+    w("")
+    w("| tier | n | pair-mean dB | production dB | gain | raw-net gain | mean k |")
+    w("|---|---|---|---|---|---|---|")
+    acc = production_rows(fn, rgb, ("Input1", "Input0"))
+    for r in acc:
+        w(f"| {r['tier']} | {r['n']} | {r['base']:.2f} | {r['prod']:.2f} | "
+          f"**{r['gain']:+.2f}** | {r['raw_gain']:+.2f} | {r['k']:.2f} |")
+    w("")
+
+    # ---- goldens ----
+    if "--skip-golden" not in sys.argv:
+        w("## Reference goldens (checkpoint_tests, 8-bit PNG space)")
+        w("")
+        kg = fit_global_blend(fn, rgb)
+        w(f"Raw net (k=1) and blended (global k={kg:.2f} fit on training "
+          f"scenes — goldens are single images, so the per-frame pair "
+          f"calibration does not apply). EXR tiers are LFS stubs in this "
+          f"snapshot; PNG tiers are real (BASELINE.md).")
+        w("")
+        rows_raw = golden_eval(fn, rgb, 1.0)
+        rows_bl = golden_eval(fn, rgb, kg) if abs(kg - 1.0) > 1e-3 else rows_raw
+        w("| pair | baseline dB / SSIM | raw net dB / SSIM | blended dB / SSIM |")
+        w("|---|---|---|---|")
+        for rr, rb in zip(rows_raw, rows_bl):
+            w(f"| {rr['pair']} | {rr['b_psnr']:.2f} / {rr['b_ssim']:.3f} | "
+              f"{rr['d_psnr']:.2f} / {rr['d_ssim']:.3f} | "
+              f"{rb['d_psnr']:.2f} / {rb['d_ssim']:.3f} |")
+        mean = lambda rows, k: float(np.mean([r[k] for r in rows]))
+        w(f"| **mean** | {mean(rows_raw,'b_psnr'):.2f} / "
+          f"{mean(rows_raw,'b_ssim'):.3f} | {mean(rows_raw,'d_psnr'):.2f} / "
+          f"{mean(rows_raw,'d_ssim'):.3f} | {mean(rows_bl,'d_psnr'):.2f} / "
+          f"{mean(rows_bl,'d_ssim'):.3f} |")
+        w("")
+
+        # ---- bf16 spot check (production display precision) ----
+        fn16, _ = load_eval_fn(bf16=True)
+        rt16 = production_rows(fn16, rgb, ("InputRT0",))
+        if rt16:
+            r = rt16[0]
+            w("## bf16 (fused-display precision) spot check")
+            w("")
+            w(f"InputRT0 production gain in bf16: **{r['gain']:+.2f} dB** "
+              f"(k={r['k']:.2f}) vs f32 above — the fused 1080p pipeline "
+              f"runs the net in bf16 (runs/bench_1080p.py --bf16).")
+            w("")
+
+    with open(OUT, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", OUT)
+
+
+if __name__ == "__main__":
+    main()

@@ -113,7 +113,9 @@ cfg = TrainConfig(unet_size=3 if SMOKE else UNET,
                   warmup_steps=min(200, DECAY_STEPS // 20),
                   batch_size=2 if SMOKE else BATCH, global_residual=True,
                   rgb=RGB, padding_mode=PAD,
-                  loss=HdrLossConfig(normalize_weights=True, log_l1=LOG_L1),
+                  loss=HdrLossConfig(normalize_weights=True, log_l1=LOG_L1,
+                                     compress=os.environ.get(
+                                         "LITBOX_TRAIN_COMPRESS", "log1p")),
                   transform=TransformConfig(use_log_space=LOGSPACE,
                                             normalize_input=True))
 trainer = Trainer(cfg)

@@ -294,3 +294,102 @@ def test_sharded_rbt_realistic_shape():
     assert raw.shape == (2, w, w, 3)
     assert np.all(np.isfinite(raw)) and raw.sum() > 0
     assert int(n[0]) == 4 * 65536
+
+
+@pytest.fixture(scope="module")
+def bins_setup():
+    """Multi-bounce point-light scene for the bin-sharded tracer (bounce
+    chains must run >= 2 waves so the ICI ring flight is exercised)."""
+    from litbox_tpu.sim import rbt
+
+    b = SceneBuilder()
+    b.add_point_light((W / 2, W / 2), radius=1.0, intensity=1.5, bounces=3)
+    b.add_point_light((W * 0.3, W * 0.6), radius=1.5, intensity=1.0,
+                      bounces=3)
+    b.add_rect((W / 2, W / 2), (W, W), log_density=-1.0)
+    scene = b.build(max_lights=2, max_shapes=1)
+    gb = rasterize(scene, W, W)
+    brdf = jnp.asarray(luts.brdf_lut((16, 5, 3)))
+    fields = rbt.precompute_rotated_fields(gb, n_bins=32)
+    return scene, gb, brdf, fields
+
+
+def test_bins_sharded_memory_is_d_over_n(bins_setup):
+    """VERDICT r3 next #6: per-device field AND source memory must scale as
+    D/n — asserted on the actual addressable shards."""
+    from litbox_tpu.parallel import (
+        make_bins_mesh, shard_fields_bins, zero_sources_bins)
+
+    scene, gb, brdf, fields = bins_setup
+    mesh = make_bins_mesh(8, ensemble=2)  # shard axis = 4
+    bf = shard_fields_bins(mesh, fields)
+    d, s = fields.n_bins, fields.size
+    for arr, per_bin in ((bf.trans, s * s), (bf.cum_log, s * s)):
+        shard = arr.addressable_shards[0].data
+        assert shard.shape[1] == d // 4, shard.shape
+        assert shard.size == (d // 4) * per_bin
+
+    src = zero_sources_bins(mesh, bf)
+    shard = src.addressable_shards[0].data
+    assert shard.shape == (1, 1, 3, d // 4, s, s)
+    # 2 ensemble rows x 4 bin shards: total source floats across the mesh
+    # equal 2 full buffers, NOT 8 (the data-sharded module's footprint).
+    total = sum(sh.data.size for sh in src.addressable_shards)
+    assert total == 2 * 3 * d * s * s
+
+
+def test_bins_sharded_matches_unsharded_exactly(bins_setup):
+    """Same key -> the bin-sharded frame IS the unsharded rbt_trace_frame
+    (hist direct + stratified bounce) re-partitioned: resolves must agree
+    to f32 scatter-order tolerance, wave >= 1 flights riding the ring."""
+    from litbox_tpu.parallel import (
+        bins_resolve, bins_trace_frame, make_bins_mesh, shard_fields_bins,
+        zero_sources_bins)
+    from litbox_tpu.sim import rbt
+
+    scene, gb, brdf, fields = bins_setup
+    key = jax.random.key(5)
+
+    src_ref = rbt.zero_sources(fields)
+    src_ref, n_ref = rbt.rbt_trace_frame(
+        fields, src_ref, gb, scene.lights, scene.field_textures, brdf,
+        jax.random.fold_in(key, 0), 2048, jnp.int32(-1), max_bounces=4,
+        bounce_photons=512, mc_direct=True, analytic_direct=False,
+        enable_brdf=True, hist_direct=True)
+    raw_ref = np.asarray(rbt.resolve_raw(fields, src_ref, W, W))
+
+    mesh = make_bins_mesh(8, ensemble=2)
+    bf = shard_fields_bins(mesh, fields)
+    src = zero_sources_bins(mesh, bf)
+    src, n = bins_trace_frame(mesh, bf, src, gb, scene.lights, brdf, key,
+                              2048, jnp.int32(-1), max_bounces=4,
+                              bounce_photons=512, enable_brdf=True)
+    raw = np.asarray(bins_resolve(mesh, bf, src, W, W))
+
+    assert raw.shape == (2, W, W, 3)
+    assert int(n[0]) == int(n_ref)
+    np.testing.assert_allclose(raw[0], raw_ref, rtol=2e-4, atol=1e-6)
+    # Second ensemble row: independent key -> different estimate.
+    assert np.abs(raw[1] - raw_ref).max() > 1e-6
+
+
+def test_bins_sharded_frames_accumulate(bins_setup):
+    """Sources accumulate across frames (the temporal-accumulation contract
+    of sim/rbt.py) in the bin-sharded layout too."""
+    from litbox_tpu.parallel import (
+        bins_resolve, bins_trace_frame, make_bins_mesh, shard_fields_bins,
+        zero_sources_bins)
+
+    scene, gb, brdf, fields = bins_setup
+    mesh = make_bins_mesh(8, ensemble=1)  # shard axis = 8
+    bf = shard_fields_bins(mesh, fields)
+    src = zero_sources_bins(mesh, bf)
+    sums = []
+    for f in range(2):
+        src, _ = bins_trace_frame(
+            mesh, bf, src, gb, scene.lights, brdf,
+            jax.random.fold_in(jax.random.key(9), f), 1024, jnp.int32(-1),
+            max_bounces=3, enable_brdf=False)
+        sums.append(float(np.asarray(
+            bins_resolve(mesh, bf, src, W, W)).sum()))
+    assert sums[1] > sums[0] * 1.5
