@@ -142,6 +142,19 @@ class Trainer:
         self.global_step += 1
         return float(loss)
 
+    def train_batch_async(self, inputs, targets):
+        """train_batch without the host sync: returns the DEVICE loss array.
+
+        float(loss) blocks on a ~30 ms tunnel round-trip per step in this
+        environment; the async variant lets dispatches queue back-to-back
+        (fetch the loss every N steps for logging instead). Feed it device
+        arrays (nn.device_data) and the whole step loop runs without host
+        traffic."""
+        self.params, self.batch_stats, self.opt_state, loss = self._step(
+            self.params, self.batch_stats, self.opt_state, inputs, targets)
+        self.global_step += 1
+        return loss
+
     def fit(self, curriculum: list[tuple[str, DenoiserDataset]],
             checkpoint_folder: str | None = None,
             on_checkpoint: Callable[[str], None] | None = None,

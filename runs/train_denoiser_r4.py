@@ -19,6 +19,10 @@ Changes vs runs/train_denoiser_r3.py, each tied to a measured r3 failure:
 5. Optional noise2noise mixing (LITBOX_TRAIN_N2N): with probability p the
    target is the OTHER tracer's render — an unbiased L2 target (Lehtinen et
    al. 2018) the dual-tracer factory gives us for free (VERDICT r3 next #2).
+6. ON-DEVICE data pipeline (nn/device_data.py): stage tensors live in HBM,
+   batches are drawn inside jit, and the loss is fetched every 20 steps
+   instead of every step. Host-batch feeding measured 1.1 s/step through
+   the ~20 MB/s TPU tunnel vs ~0.07 s/step of compute for the RGB net.
 
 Usage: python runs/train_denoiser_r4.py [minutes] [--dataset DIR] [--resume]
        [--out DIR] [--smoke]
@@ -37,7 +41,6 @@ if "--smoke" in sys.argv:
 
 import numpy as np
 
-from litbox_tpu.nn.dataset import DenoiserDataset
 from litbox_tpu.nn.infer import blend_pair_symmetric, infer_large
 from litbox_tpu.nn.loss import HdrLossConfig
 from litbox_tpu.nn.train import TrainConfig, Trainer
@@ -78,14 +81,18 @@ def scene_scale(i: str) -> float:
     return _scale_cache[i]
 
 
-def stage(prefix: str, use_ids: list, crop: int) -> DenoiserDataset:
-    return DenoiserDataset(
-        [os.path.join(dataset_dir, f"{prefix}_Radiance_A_{i}.exr") for i in use_ids],
-        [os.path.join(dataset_dir, f"{prefix}_Radiance_B_{i}.exr") for i in use_ids],
-        [os.path.join(dataset_dir, f"Albedo_{i}.png") for i in use_ids],
-        [os.path.join(dataset_dir, f"Transmissibility_{i}.exr") for i in use_ids],
-        [os.path.join(dataset_dir, f"Output_Reference_{i}.exr") for i in use_ids],
-        crop_size=crop, scales=[scene_scale(i) for i in use_ids])
+def stage_arrays(prefix: str, use_ids: list):
+    """Decode one tier into stacked (N, H, W, 3) arrays (device_data)."""
+    from litbox_tpu.nn.device_data import stack_stage
+
+    return stack_stage(
+        [os.path.join(dataset_dir, f"{prefix}_Radiance_A_{i}.exr")
+         for i in use_ids],
+        [os.path.join(dataset_dir, f"{prefix}_Radiance_B_{i}.exr")
+         for i in use_ids],
+        [os.path.join(dataset_dir, f"Output_Reference_{i}.exr")
+         for i in use_ids],
+        [scene_scale(i) for i in use_ids])
 
 
 SMOKE = "--smoke" in sys.argv
@@ -99,10 +106,10 @@ CROP = 64 if SMOKE else int(os.environ.get("LITBOX_TRAIN_CROP", "192"))
 N2N = float(os.environ.get("LITBOX_TRAIN_N2N", "0.25"))
 LOGSPACE = os.environ.get("LITBOX_TRAIN_LOG", "1") == "1"
 LOG_L1 = float(os.environ.get("LITBOX_TRAIN_LOGL1", "0.25"))
-# Cosine schedule length from the budget and the measured step cost
-# (mono unet5/feats32 ~0.20 s/step on v5e at crop 192 batch 8,
-# runs/phase2_r3.log; the small RGB net ~0.065 s/step).
-SEC_PER_STEP = 0.20 if (UNET >= 5 and not SMOKE) else 0.065
+# Cosine schedule length from the budget and the measured step cost with
+# the on-device pipeline (mono unet5/feats32 ~0.22 s/step on v5e at crop
+# 192 batch 8; the small RGB net ~0.09 s/step including dispatch).
+SEC_PER_STEP = 0.22 if (UNET >= 5 and not SMOKE) else 0.09
 DECAY_STEPS = int(os.environ.get(
     "LITBOX_TRAIN_STEPS", str(max(int(minutes * 60 / SEC_PER_STEP), 100))))
 
@@ -139,11 +146,16 @@ def ids_with(prefix: str, use_ids: list) -> list:
         os.path.join(dataset_dir, f"{prefix}_Radiance_B_{i}.exr"))]
 
 
-stages = [("Easy", stage("Input2", ids_with("Input2", train_ids), CROP)),
-          ("Medium", stage("Input1", ids_with("Input1", train_ids), CROP)),
-          ("Final", stage("Input0", ids_with("Input0", train_ids), CROP))]
-stages += [(p, stage(p, ids_with(p, train_ids), CROP)) for p in RT]
-print("stages:", [(s[0], len(s[1])) for s in stages], flush=True)
+from litbox_tpu.nn.device_data import DeviceStages
+
+stage_names = ["Easy", "Medium", "Final"] + RT
+stage_prefix = {"Easy": "Input2", "Medium": "Input1", "Final": "Input0",
+                **{p: p for p in RT}}
+print("decoding stages...", flush=True)
+dev = DeviceStages({name: stage_arrays(stage_prefix[name],
+                                       ids_with(stage_prefix[name], train_ids))
+                    for name in stage_names})
+print("stages:", [(n, d[0].shape) for n, d in dev.data.items()], flush=True)
 
 
 def production_gain(prefix: str, max_scenes: int = 6):
@@ -193,42 +205,32 @@ CUTS = (0.12, 0.24, 0.40)
 RT_WEIGHTS = tuple([0.1, 0.1, 0.2] + [0.6 / max(len(RT), 1)] * len(RT))
 
 
-def active_stage():
+def active_stage() -> str:
     f = (time.time() - t0) / budget
     if not have_rt:
-        return stages[0] if f < 0.3 else stages[1] if f < 0.6 else stages[2]
+        return ("Easy" if f < 0.3 else "Medium" if f < 0.6 else "Final")
     for idx, c in enumerate(CUTS):
         if f < c:
-            return stages[idx]
-    return stages[int(rng.choice(len(stages), p=RT_WEIGHTS))]
+            return stage_names[idx]
+    return stage_names[int(rng.choice(len(stage_names), p=RT_WEIGHTS))]
 
 
+import jax
+
+base_key = jax.random.key(cfg.seed + 1)
 while time.time() - t0 < budget:
-    name, ds = active_stage()
-    for batch in ds.batches(cfg.batch_size, rng, shuffle=True):
-        swap = rng.random() < 0.5  # both tracers' outputs are training inputs
-        inp_img = batch["input_b"] if swap else batch["input_a"]
-        if rng.random() < N2N:
-            # noise2noise batch: the OTHER tracer is the target — unbiased
-            # for the L2 part of the loss, and an infinite-supply supervisor
-            # in the realtime tiers where references are expensive.
-            tgt_img = batch["input_a"] if swap else batch["input_b"]
-        else:
-            tgt_img = batch["reference"]
-        if cfg.rgb:
-            import jax.numpy as jnp
-
-            inp, tgt = jnp.asarray(inp_img), jnp.asarray(tgt_img)
-        else:
-            inp, tgt = trainer.select_random_channel(
-                {"input_a": inp_img, "reference": tgt_img}, rng)
-        loss = trainer.train_batch(inp, tgt)
+    name = active_stage()
+    # Chunks of 20 steps with ONE host sync at the end (the loss fetch):
+    # dispatches queue back-to-back through the async tunnel; per-step
+    # float(loss) would add a full ~30 ms round-trip each step.
+    loss = None
+    for _ in range(20):
+        inp, tgt = dev.sample(name, jax.random.fold_in(base_key, step),
+                              cfg.batch_size, CROP, cfg.rgb, n2n_p=N2N)
+        loss = trainer.train_batch_async(inp, tgt)
         step += 1
-        if step % 20 == 0:
-            print(f"{time.time()-t0:7.1f}s step {step} [{name}] "
-                  f"loss {loss:.5f}", flush=True)
-        if time.time() - t0 > budget:
-            break
+    print(f"{time.time()-t0:7.1f}s step {step} [{name}] "
+          f"loss {float(loss):.5f}", flush=True)
     if time.time() - t0 - last_eval > 600:
         last_eval = time.time() - t0
         score, rt_g, acc_g, rt_k = selection_score()

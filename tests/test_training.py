@@ -232,3 +232,59 @@ def test_rgb_variant_identity_at_init_and_trains():
     assert out.shape == img.shape
     assert np.all(np.isfinite(out))
     np.testing.assert_allclose(out[8:-8, 8:-8], img[8:-8, 8:-8], atol=1e-3)
+
+
+def test_device_data_sample_batch(tmp_path):
+    """On-device batch sampler: shapes, crop bounds, channel pairing, and
+    the noise2noise target switch (nn/device_data.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from litbox_tpu.nn.device_data import sample_batch
+
+    rng = np.random.default_rng(0)
+    n, h = 5, 64
+    a = jnp.asarray(rng.uniform(0, 1, (n, h, h, 3)).astype(np.float32))
+    b = a + 100.0          # tracer B recognizably offset
+    ref = a + 10_000.0     # reference recognizably offset
+
+    inp, tgt = sample_batch(a, b, ref, jax.random.key(1), 8, 32, True,
+                            n2n_p=0.0)
+    assert inp.shape == (8, 32, 32, 3) and tgt.shape == (8, 32, 32, 3)
+    # With n2n_p=0 every target is the reference (offset ~1e4 from input).
+    assert float(jnp.abs(tgt - inp).min()) > 5_000.0
+
+    # n2n_p=1: every target is the OTHER tracer (offset exactly 100).
+    inp, tgt = sample_batch(a, b, ref, jax.random.key(2), 8, 32, True,
+                            n2n_p=1.0)
+    d = jnp.abs(tgt - inp)
+    np.testing.assert_allclose(np.asarray(d), 100.0, atol=1e-4)
+
+    # Mono mode: one channel, and input/target pick the SAME channel
+    # (reference parity, train_litbox_denoiser.py:102-113).
+    inp, tgt = sample_batch(a, b, ref, jax.random.key(3), 8, 32, False,
+                            n2n_p=0.0)
+    assert inp.shape == (8, 32, 32, 1)
+    # Input is tracer A or B (swap), so tgt - inp is 10000 or 9900 —
+    # same channel either way.
+    d = np.asarray(tgt - inp)
+    assert np.all((np.abs(d - 10_000.0) < 1.0) | (np.abs(d - 9_900.0) < 1.0))
+
+
+def test_device_data_rotations_cover_crops():
+    """Rotations and crops draw from the full image (statistical smoke)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from litbox_tpu.nn.device_data import sample_batch
+
+    n, h = 2, 48
+    base = np.zeros((n, h, h, 3), np.float32)
+    base[:, : h // 2] = 1.0  # top half bright
+    a = jnp.asarray(base)
+    inp, _ = sample_batch(a, a, a, jax.random.key(0), 16, 24, True)
+    means = np.asarray(inp.mean(axis=(1, 2, 3)))
+    # Random crops + rot90 must produce a spread of brightness mixes.
+    assert means.min() < 0.35 and means.max() > 0.65
