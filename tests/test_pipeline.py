@@ -159,3 +159,31 @@ def test_blend_from_pair_semantics():
     assert blend_from_pair(a + 0.5, a, b) < 0.1
     # No-op: d == 0 -> degenerate ratio, still clipped into [0, 1].
     assert 0.0 <= blend_from_pair(a, a, b) <= 1.0
+
+
+def test_blend_prior_fit_and_lookup():
+    """Noise-indexed k prior: common-mode corrections (shared by both
+    tracers) earn k ~ 0 from the pair estimator but k ~ 1 from the
+    reference-fit prior; the lookup interpolates by pair disagreement."""
+    import numpy as np
+
+    from litbox_tpu.nn.infer import (
+        blend_pair_symmetric, blend_prior_lookup, fit_blend_prior)
+
+    rng = np.random.default_rng(2)
+    samples = []
+    for _ in range(8):
+        ref = rng.uniform(0.2, 1.0, (48, 48, 3)).astype(np.float32)
+        bias = rng.normal(0, 0.2, ref.shape).astype(np.float32)  # common-mode
+        a = ref + bias + rng.normal(0, 0.05, ref.shape).astype(np.float32)
+        b = ref + bias + rng.normal(0, 0.05, ref.shape).astype(np.float32)
+        # Net perfectly removes the COMMON artifact, not the indep noise.
+        out_a, out_b = a - bias, b - bias
+        _, k_auto = blend_pair_symmetric(out_a, out_b, a, b)
+        assert k_auto < 0.2  # pair estimator blind to the common-mode fix
+        samples.append((out_a, out_b, a, b, ref))
+
+    table = fit_blend_prior(samples)
+    a, b = samples[0][2], samples[0][3]
+    kp = float(blend_prior_lookup(table, a, b))
+    assert kp > 0.7  # the reference-fit prior credits the fix
