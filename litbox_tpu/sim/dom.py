@@ -1,0 +1,115 @@
+"""Deterministic multi-bounce (discrete-ordinates cascade) for RBT.
+
+The MC bounce estimator flies k Russian-roulette chains per frame
+(sim/rbt._bounce_chain_deposits) — 524,288 photons of per-frame work whose
+variance IS the realtime bounce noise, and whose cull is the asterisk on
+the bench's photon accounting (VERDICT r2 next #4 / r3 next #8). This
+module replaces bounce transport with its EXPECTATION, computed directly
+on the rotated-bin representation:
+
+For medium cells (no normal field), scatter_materially samples a UNIFORM
+new direction with unit energy scale (materials.py:249-251), so the
+expected wave-(w+1) source density is bin-independent:
+
+    S_{w+1}[d', cell] = (1/D) * albedo(cell) * (1 - t(cell)) * F_w(cell)
+
+where F_w(cell) = sum_d deposited_w[d](cell) is exactly the resolved flux
+of wave w (resolve_raw without the to_hdr camera factors), and
+albedo*(1-t) is the same interaction term ConvertToHDR applies for the
+camera (oracle.to_hdr) and the MC chain applies at its sampled interaction
+point (energy * albedo * (1-T_esc), rbt.py:656-658). One wave is thus:
+
+    scan + rotate-back  (the standard resolve, MXU/Pallas path)
+    -> one (H, W, 3) interaction map
+    -> forward-rotate that single map into each of the D bin frames
+       (a second resolve-shaped rotation batch)
+    -> +1 column shift in the bin frame (the MC chain's one-cell pushoff
+       along the new direction, rbt.py:659)
+
+Zero variance, no per-photon work, and the cost amortizes: bounce light is
+low-frequency and temporally stable, so production recomputes the cascade
+on a cadence (or on scene change) while per-frame tracing is DIRECT ONLY.
+
+Scope: scenes whose interacting cells carry no normal/BRDF alignment (the
+cloudy-medium class, e.g. the bench scene) — surface branches (mirror /
+hemisphere / GGX) are direction-dependent and stay on the MC path.
+Reference bounce loop: SimulationCommon.cginc:387-456.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import GBuffer
+from ..ops.resample import gather_bilinear_mxu
+from .rbt import RotatedFields, attenuation_scan, rotate_back
+
+
+def _forward_rotate(fields: RotatedFields, world: jax.Array,
+                    height: int, width: int) -> jax.Array:
+    """Embed an (H, W, 3) world-frame map into every bin frame (D, S, S, 3).
+
+    Inverse of rotate_back's per-bin sampling: bin-frame cell p' samples the
+    world map at p = R_d^T (p' - s/2) + c (zero outside the scene extent —
+    the S-embedding is vacuum there, matching precompute_rotated_fields)."""
+    s = fields.size
+    xs = jnp.arange(s, dtype=jnp.float32) + 0.5 - s / 2.0
+    rx = xs[None, None, :]
+    ry = xs[None, :, None]
+    cos = fields.cos[:, None, None]
+    sin = fields.sin[:, None, None]
+    px = cos * rx - sin * ry + fields.center[0]
+    py = sin * rx + cos * ry + fields.center[1]
+    pts = jnp.stack([px, py], axis=-1).reshape(-1, 2)
+    # gather_bilinear_mxu clamps at edges; mask points outside the extent
+    # so vacuum stays vacuum instead of smearing the border row.
+    inside = ((pts[:, 0] >= 0) & (pts[:, 0] <= width)
+              & (pts[:, 1] >= 0) & (pts[:, 1] <= height))
+    vals = gather_bilinear_mxu(world, pts) * inside[:, None]
+    return vals.reshape(fields.n_bins, s, s, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("n_waves",))
+def dom_bounce_sources(fields: RotatedFields, gbuffer: GBuffer,
+                       src_direct: tuple, n_waves: int = 1) -> tuple:
+    """Expected bounce sources for wave 1..n_waves given wave-0 sources.
+
+    Returns a (3, D, S, S) source tuple to ADD to the direct sources before
+    resolve — linear in src_direct, so it composes with temporal
+    accumulation (dom(sum of frames) == sum of dom(frame))."""
+    height, width = gbuffer.transmissibility.shape
+    albedo = gbuffer.albedo[..., :3] / fields.n_bins
+
+    trans = fields.trans
+    sqrt_t = jnp.sqrt(trans)
+
+    src_w = src_direct
+    out = tuple(jnp.zeros_like(c) for c in src_direct)
+    for _ in range(n_waves):
+        # Interaction rate per rotated cell, exact per-ray: the scan's O[x]
+        # is flux AFTER extinction through x, so the interacting flux is the
+        # INCOMING O[x-1] (one-cell shift) times (1 - t), plus the birth
+        # cell's own half-cell interaction src * (1 - sqrt(t)) (sources sit
+        # mid-cell, the same convention the scan's sqrt(t) pre-attenuation
+        # uses). Without the shift the estimate is biased low by ~mean(t)
+        # per interaction (measured -11% on the validation scene).
+        deposited = attenuation_scan(fields, src_w)           # (D, S, S, 3)
+        incoming = jnp.pad(deposited[:, :, :-1, :],
+                           ((0, 0), (0, 0), (1, 0), (0, 0)))
+        src_stack = jnp.stack(src_w, axis=-1)                 # (D, S, S, 3)
+        interact_rot = (incoming * (1.0 - trans)[..., None]
+                        + src_stack * (1.0 - sqrt_t)[..., None])
+        flux = rotate_back(fields, interact_rot, height, width,
+                           traced_phase=True)
+        world_src = flux * albedo
+        rotated = _forward_rotate(fields, world_src, height, width)
+        # One-cell push along the new direction (+x of the new bin frame):
+        # the MC chain offsets its continuation by new_dir before depositing
+        # (rbt.py:659) so the source cell is not immediately re-extincted.
+        rotated = jnp.roll(rotated, 1, axis=2).at[:, :, 0, :].set(0.0)
+        src_w = tuple(rotated[..., c] for c in range(3))
+        out = tuple(o + s for o, s in zip(out, src_w))
+    return out

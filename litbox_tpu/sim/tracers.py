@@ -165,6 +165,18 @@ class RBTForwardIntegrator(ForwardIntegrator):
         self._group_next = 0
         self._group_frame = -1
         self._group_display = None
+        # Deterministic multi-bounce (sim/dom.py): per-frame tracing is
+        # direct-only and bounce transport is the zero-variance cascade,
+        # recomputed from the accumulated direct sources every dom_refresh
+        # frames and added at readout as a per-frame RATE image (the same
+        # composition pattern as the exact-collimated field). Only engages
+        # on normal-free medium scenes (_dom_ok, derived at scene change).
+        self.dom_bounce = False
+        self.dom_refresh = 8
+        self._dom_ok = False
+        self._dom_waves = 0
+        self._dom_raw_rate = None
+        self._dom_it = -1
         super().__init__(finalize_outscatter, bilinear_writes)
 
     @property
@@ -209,6 +221,8 @@ class RBTForwardIntegrator(ForwardIntegrator):
         self._phase_src = {}
         self._mc_direct = None  # scene-derived static specializations
         self._exact_raw = None
+        self._dom_raw_rate = None
+        self._dom_it = -1
         self._group_rate = {}
         self._group_sum = None
         self._group_next = 0
@@ -284,10 +298,26 @@ class RBTForwardIntegrator(ForwardIntegrator):
             # the reference's per-light kernel selection.
             self._hist_direct = (self._mc_direct and not self.analytic_direct
                                  and bool(np.all(mask[active])))
+            # DOM eligibility: the deterministic cascade assumes uniform
+            # scattering at every interacting cell (sim/dom.py scope), i.e.
+            # a normal-free medium. One host read per scene change.
+            self._dom_ok = (not self._enable_brdf and bool(
+                jnp.abs(gb.normal[..., :2]).max() == 0.0))
+            self._dom_waves = int(max(0, min(
+                self.max_bounces, int(eff_b[active].max()) if active.any()
+                else 0) - 1))
+        dom_on = self.dom_bounce and self._dom_ok and self._dom_waves > 0
+        if dom_on and self.jitter_bins:
+            raise NotImplementedError(
+                "dom_bounce with the jitter-phase ladder needs a per-phase "
+                "cascade; disable one of the two")
         self._src, n = rbt_trace_frame(
             self._fields, self._src, gb, scene.lights, scene.field_textures,
             self._brdf, key, self.rays_to_emit, jnp.int32(override),
-            max_bounces=self.max_bounces, bounce_photons=self.bounce_rays,
+            # DOM mode: per-frame tracing is DIRECT ONLY — bounce transport
+            # is the deterministic cascade, refreshed on a cadence.
+            max_bounces=1 if dom_on else self.max_bounces,
+            bounce_photons=self.bounce_rays,
             mc_direct=self._mc_direct, enable_brdf=self._enable_brdf,
             light_kinds=self._light_kinds, analytic_direct=self.analytic_direct,
             hist_direct=self._hist_direct,
@@ -302,11 +332,37 @@ class RBTForwardIntegrator(ForwardIntegrator):
         # at readout (display/convergence/dataset writes).
 
     def _with_exact(self, raw: jax.Array) -> jax.Array:
-        """Add the scene-static exact collimated wave-0 field (it is a
-        per-frame deposit, so it scales with accumulated iterations)."""
-        if self._exact_raw is None:
-            return raw
-        return raw + self._exact_raw * jnp.float32(self.iterations_since_clear)
+        """Add the per-frame-rate side fields — the scene-static exact
+        collimated wave-0 and the DOM bounce cascade — scaled by the
+        accumulated iteration count."""
+        it = jnp.float32(self.iterations_since_clear)
+        if self._exact_raw is not None:
+            raw = raw + self._exact_raw * it
+        dom = self._dom_rate()
+        if dom is not None:
+            raw = raw + dom * it
+        return raw
+
+    def _dom_rate(self):
+        """Cascade bounce lightmap per accumulated frame, cached and
+        refreshed every dom_refresh frames (dom_bounce_sources is linear in
+        the accumulated direct sources, so rate * iterations is exact up to
+        the refresh lag)."""
+        if not (self.dom_bounce and self._dom_ok and self._dom_waves > 0
+                and self._src is not None):
+            return None
+        it = max(1, self.iterations_since_clear)
+        if (self._dom_raw_rate is None
+                or it - self._dom_it >= self.dom_refresh):
+            from .dom import dom_bounce_sources
+
+            gb = self.gbuffer
+            dom_src = dom_bounce_sources(self._fields, gb, self._src,
+                                         n_waves=self._dom_waves)
+            self._dom_raw_rate = resolve_raw(
+                self._fields, dom_src, gb.height, gb.width) / jnp.float32(it)
+            self._dom_it = it
+        return self._dom_raw_rate
 
     @property
     def raw_accumulation(self) -> jax.Array:
@@ -373,6 +429,9 @@ class RBTForwardIntegrator(ForwardIntegrator):
         total = self._group_sum * scale if scale != 1.0 else self._group_sum
         if self._exact_raw is not None:
             total = total + self._exact_raw
+        dom = self._dom_rate()
+        if dom is not None:
+            total = total + dom
         return total
 
     @property
