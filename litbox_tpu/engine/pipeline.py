@@ -110,7 +110,8 @@ class AIAccelerator:
                  unet_size: int = 5, initial_features: int = 32,
                  transform: TransformConfig | None = None,
                  tonemap: str = "ue5", blend: float | str = 1.0,
-                 blend_prior=None):
+                 blend_prior=None, out_channels: int = 1,
+                 padding_mode: str = "reflect", global_residual: bool = False):
         self.simulation = simulation
         self.model_variables = model_variables
         self.transform = transform or TransformConfig()
@@ -120,8 +121,13 @@ class AIAccelerator:
         # common-mode corrections the per-frame pair calibration is blind
         # to. Fit offline on training scenes; shipped next to the weights.
         self.blend_prior = blend_prior
+        # out_channels=3 hosts the RGB realtime display variant (one pass
+        # per frame); 1 is the reference's mono architecture.
         self.model = LitboxDenoiserNet(unet_size=unet_size,
-                                       initial_features=initial_features)
+                                       initial_features=initial_features,
+                                       out_channels=out_channels,
+                                       padding_mode=padding_mode,
+                                       global_residual=global_residual)
         self.hdr_output: jax.Array | None = None
         self.tonemapped_output: jax.Array | None = None
         self.last_blend: jax.Array | None = None  # k used on the last step (auto mode)
@@ -166,6 +172,36 @@ class AIAccelerator:
                                                       UchimuraShape())
         else:
             self.tonemapped_output = tonemap_ue5(self.hdr_output, UE5Shape())
+
+    @classmethod
+    def from_checkpoint(cls, simulation, ckpt_path: str, **kwargs):
+        """Build an AIAccelerator whose architecture/transform match the
+        checkpoint's saved TrainConfig (nn.train.load_train_config), with
+        the blend prior table auto-loaded when present next to the weights.
+        The robust way to host any trained variant (mono or RGB realtime)."""
+        import os
+
+        import numpy as np
+
+        from ..nn.train import Trainer, load_train_config
+
+        cfg = load_train_config(ckpt_path)
+        trainer = Trainer(cfg)
+        trainer.load(ckpt_path)
+        prior_path = os.path.splitext(
+            ckpt_path if ckpt_path.endswith(".npz") else ckpt_path + ".npz"
+        )[0] + "_blend_prior.npy"
+        if "blend_prior" not in kwargs and os.path.exists(prior_path):
+            kwargs["blend_prior"] = np.load(prior_path)
+        return cls(simulation,
+                   {"params": trainer.params,
+                    "batch_stats": trainer.batch_stats},
+                   unet_size=cfg.unet_size,
+                   initial_features=cfg.initial_features,
+                   transform=cfg.transform,
+                   out_channels=3 if cfg.rgb else 1,
+                   padding_mode=cfg.padding_mode,
+                   global_residual=cfg.global_residual, **kwargs)
 
     def detach(self):
         if self._on_step in self.simulation.on_step:

@@ -187,3 +187,48 @@ def test_blend_prior_fit_and_lookup():
     a, b = samples[0][2], samples[0][3]
     kp = float(blend_prior_lookup(table, a, b))
     assert kp > 0.7  # the reference-fit prior credits the fix
+
+
+def test_ai_accelerator_from_checkpoint(tmp_path):
+    """from_checkpoint rebuilds the exact trained architecture (incl. the
+    RGB realtime variant + transform + prior table) from the saved config."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from litbox_tpu.engine import Mode, Simulation
+    from litbox_tpu.engine.pipeline import AIAccelerator
+    from litbox_tpu.nn.loss import HdrLossConfig
+    from litbox_tpu.nn.train import TrainConfig, Trainer
+    from litbox_tpu.nn.unet import TransformConfig
+    from litbox_tpu.scene import SceneBuilder
+
+    cfg = TrainConfig(unet_size=2, initial_features=4, crop_size=32,
+                      batch_size=2, rgb=True, padding_mode="zeros",
+                      global_residual=True,
+                      loss=HdrLossConfig(compress="log1p"),
+                      transform=TransformConfig(use_log_space=True,
+                                                normalize_input=True))
+    tr = Trainer(cfg)
+    ckpt = os.path.join(tmp_path, "model.npz")
+    tr.save(ckpt, include_optimizer=False)
+    np.save(os.path.join(tmp_path, "model_blend_prior.npy"),
+            np.array([[-6.0, 0.5], [0.0, 0.5]]))
+
+    w = 32
+    b = SceneBuilder()
+    b.add_point_light((w / 2, w / 2), radius=1.5, intensity=1.5, bounces=2)
+    b.add_rect((w / 2, w / 2), (w, w), log_density=-1.2)
+    sim = Simulation(width=w, height=w, mode=Mode.REFERENCE,
+                     rays_per_frame=512, frame_limit=1)
+    sim.set_scene(b.build(max_lights=1, max_shapes=1))
+    ai = AIAccelerator.from_checkpoint(sim, ckpt, blend="auto")
+    assert ai.model.out_channels == 3
+    assert ai.blend_prior is not None
+    sim.run(max_frames=1)
+    assert ai.hdr_output.shape == (w, w, 3)
+    # global_residual + log space: untrained net is the identity, and the
+    # prior floors k at 0.5 -> display stays the pair mean.
+    assert float(ai.last_blend) >= 0.5
+    ai.detach()
