@@ -6,7 +6,8 @@ from __future__ import annotations
 
 def format_perf_text(sim) -> str:
     """The reference's UIToolkit label content (SimulationPerfDisplay.cs:37-55)."""
-    lines = [f"{sim.photon_writes_per_second / 1e6:.1f} MWrites/s"]
+    lines = [f"{sim.photons_per_second / 1e6:.1f} MPhotons/s",
+             f"{sim.photon_writes_per_second / 1e6:.1f} MWrites/s"]
     from .simulation import Mode
 
     if sim.mode == Mode.REFERENCE:

@@ -95,6 +95,7 @@ class Simulation:
         # _should_update_importance_map.
         self.wants_importance_map = False
         self.photon_writes_per_second = 0.0
+        self.photons_per_second = 0.0
         self._last_perf = None
         self.on_step: list[Callable[[int], None]] = []
         self.on_converged: list[Callable[[], None]] = []
@@ -370,18 +371,25 @@ class Simulation:
         return self.simulation_output_hdr
 
     def update_performance_metrics(self):
-        """MWrites/s counter (Simulation.cs:440-461, ITracer perf metrics).
+        """Throughput counters (Simulation.cs:440-461, ITracer perf metrics).
 
-        Units follow the engine's write_count semantics (deposits for
-        oracle, photons for RBT — see ForwardIntegrator.write_count):
-        comparable across runs of one engine, not across engines."""
+        photons_per_second is the UNIFORM metric (emitted photons/s,
+        identical units for every `engine=` and for bench.py — see
+        ForwardIntegrator.photon_count). photon_writes_per_second keeps the
+        reference's MWrites semantics, whose units differ by engine
+        (deposits for oracle, photons for RBT — ForwardIntegrator
+        .write_count) and is comparable across runs of one engine only."""
+        if self._tracers is None:  # no frame traced yet (tracers build lazily)
+            return
         now = time.monotonic()
         total_writes = sum(t.forward_write_count for t in self._tracers)
+        total_photons = sum(t.forward_photon_count for t in self._tracers)
         if self._last_perf is not None:
             dt = now - self._last_perf[0]
             if dt > 0:
                 self.photon_writes_per_second = (total_writes - self._last_perf[1]) / dt
-        self._last_perf = (now, total_writes)
+                self.photons_per_second = (total_photons - self._last_perf[2]) / dt
+        self._last_perf = (now, total_writes, total_photons)
 
     @property
     def estimated_convergence_time(self) -> float:

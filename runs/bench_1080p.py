@@ -38,22 +38,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SIM_W, SIM_H = 480, 272          # quarter-res 1080p (rounded to /16)
-OUT_W, OUT_H = 1920, 1088
+from litbox_tpu.core.types import REALTIME_1080P as PROF
+
+SIM_W, SIM_H = PROF.sim_width, PROF.sim_height
+OUT_W, OUT_H = PROF.out_width, PROF.out_height
 
 
 def arg(flag, default, cast=int):
     return cast(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv else default
 
 
-PHOTONS = arg("--photons", 262_144)
-BOUNCE_PHOTONS = arg("--bounce", 65_536)
-N_BINS = arg("--bins", 128)
+# Defaults come from THE pinned production profile
+# (litbox_tpu.core.types.REALTIME_1080P); flags exist for ablation sweeps
+# only — headline numbers must use the defaults.
+PHOTONS = arg("--photons", PROF.photons)
+BOUNCE_PHOTONS = arg("--bounce", PROF.bounce_photons)
+N_BINS = arg("--bins", PROF.n_bins)
 FRAMES = arg("--frames", 5)
 # Angular group-interleaved display resolve (tracers.RBTForwardIntegrator
 # resolve_groups): each frame resolves bins d == t (mod K) at 1/K cost and
 # composes K cached partial rates. 1 = full resolve every frame.
-GROUPS = arg("--groups", 1)
+GROUPS = arg("--groups", PROF.resolve_groups)
 
 
 def build():

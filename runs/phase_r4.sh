@@ -27,6 +27,8 @@ fi
 
 if [ "$section" = pair1080 ]; then
   ckpt=$2
+  # No knob flags: the pinned production profile
+  # (litbox_tpu.core.types.REALTIME_1080P) supplies every default.
   timeout 2400 python -u runs/bench_1080p.py "$ckpt" --pair --bf16 \
-    --groups 16 --bounce 32768 2>&1 | tee runs/bench1080_r4_pair.log | tail -4
+    2>&1 | tee runs/bench1080_r4_pair.log | tail -4
 fi
