@@ -18,9 +18,14 @@ Usage: python runs/eval_realtime_r3.py CKPT [--cpu] [--bf16] [--blend]
 --blend: calibrate the residual-blend factor k per tier on TRAINING scenes
 (closed form, nn.infer.fit_blend) and evaluate the blended output on the
 held-out scenes.
---pair-blend: the production inference mode (AIAccelerator blend='auto'):
-each sample self-calibrates k from the OTHER tracer of its dual-tracer pair
-(nn.infer.blend_from_pair) — no reference, no training scenes involved.
+--pair-blend: single-tracer self-calibrated blend — k from the OTHER
+tracer (nn.infer.blend_from_pair), applied around ONE tracer. NOTE (ADVICE
+r3 #2): this is NOT the shipped production composition. AIAccelerator
+blend='auto' denoises BOTH tracers and blends the pair MEAN with the
+symmetric cross-calibrated k (nn.infer.blend_pair_symmetric); that exact
+composition is what runs/quality_report.py evaluates — use QUALITY.md for
+production-mode numbers. This script's estimator is kept for the
+round-over-round comparison of single-tracer figures only.
 """
 import glob
 import os
@@ -150,7 +155,7 @@ if report and rows:
             + (" Inference uses the residual-blend factor k calibrated "
                "per tier on TRAINING scenes (nn.infer.fit_blend; the "
                "production AIAccelerator blend knob)." if USE_BLEND else "")
-            + (" Inference is the production auto-blend mode (AIAccelerator "
+            + (" Inference is the single-tracer self-calibrated blend (NOT the shipped pair-mean composition; see QUALITY.md) (AIAccelerator "
                "blend='auto'): each sample self-calibrates k against the "
                "other tracer of its pair (nn.infer.blend_from_pair) — no "
                "reference data is used." if PAIR_BLEND else "")
