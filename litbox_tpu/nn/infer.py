@@ -200,16 +200,40 @@ def fit_blend_prior(samples, n_buckets: int = 6,
                         n_buckets - 1))
         num[i] += float((dbar * (ref - x)).sum())
         den[i] += float((dbar * dbar).sum())
-    k = np.where(den > 0, np.clip(num / np.maximum(den, 1e-12), 0.0, 1.0),
+    # A bucket counts as FITTED only when it carries meaningful evidence
+    # mass: den is the energy of the net's correction in that bucket, so a
+    # bucket holding <0.1% of the total is a handful of near-zero residuals
+    # whose ratio clips to 0 or 1 by luck (the first fit produced k=1.0 in
+    # every low-noise bucket this way).
+    fitted = den > 1e-3 * max(den.sum(), 1e-12)
+    k = np.where(fitted, np.clip(num / np.maximum(den, 1e-12), 0.0, 1.0),
                  np.nan)
-    # Fill empty buckets from the nearest fitted one.
+    # Empty-bucket fill is DIRECTIONAL: as sigma_rel -> 0 the optimal k -> 0
+    # (a converged input means any correction is pure error), so buckets
+    # BELOW the lowest fitted one get 0 — never a noisy bucket's k. (The
+    # first fit of this table filled low-noise buckets nearest-neighbor
+    # with k=1 from the noisy end; a near-converged held-out scene then got
+    # k_prior=1 and lost 70 dB. Evidence: runs/quality_QUALITY.log first
+    # run, prior_gain -6.4 dB driven entirely by that scene.) Buckets above
+    # the highest fitted one keep nearest-neighbor (more noise -> at least
+    # as much credit); interior gaps interpolate between fitted neighbors.
     if np.isnan(k).all():
         k = np.zeros(n_buckets)
     else:
         idx = np.where(~np.isnan(k))[0]
+        lo_fit, hi_fit = idx[0], idx[-1]
         for j in range(n_buckets):
-            if np.isnan(k[j]):
-                k[j] = k[idx[np.abs(idx - j).argmin()]]
+            if not np.isnan(k[j]):
+                continue
+            if j < lo_fit:
+                k[j] = 0.0
+            elif j > hi_fit:
+                k[j] = k[hi_fit]
+            else:
+                below = idx[idx < j][-1]
+                above = idx[idx > j][0]
+                t = (j - below) / (above - below)
+                k[j] = (1 - t) * k[below] + t * k[above]
     return np.stack([centers, k], axis=-1)
 
 

@@ -189,6 +189,34 @@ def test_blend_prior_fit_and_lookup():
     assert kp > 0.7  # the reference-fit prior credits the fix
 
 
+def test_blend_prior_no_credit_below_fitted_noise():
+    """A near-converged pair must get k_prior ~ 0, even when every fitted
+    bucket says k=1: buckets with negligible evidence mass are unfitted and
+    the fill below the fitted range is 0 (as sigma_rel -> 0 the optimal
+    blend -> 0 — any correction to an exact input is pure error). The first
+    prior fit nearest-neighbor-filled low-noise buckets with k=1 from the
+    noisy end; one held-out near-converged scene then lost 70 dB
+    (runs/quality_QUALITY.log, first run)."""
+    import numpy as np
+
+    from litbox_tpu.nn.infer import blend_prior_lookup, fit_blend_prior
+
+    rng = np.random.default_rng(3)
+    samples = []
+    for _ in range(8):
+        ref = rng.uniform(0.2, 1.0, (48, 48, 3)).astype(np.float32)
+        bias = rng.normal(0, 0.2, ref.shape).astype(np.float32)
+        a = ref + bias + rng.normal(0, 0.05, ref.shape).astype(np.float32)
+        b = ref + bias + rng.normal(0, 0.05, ref.shape).astype(np.float32)
+        samples.append((a - bias, b - bias, a, b, ref))
+    table = fit_blend_prior(samples)
+    # Converged pair: a == b == ref up to 1e-6 jitter -> tiny sigma_rel.
+    ref = rng.uniform(0.2, 1.0, (48, 48, 3)).astype(np.float32)
+    eps = rng.normal(0, 1e-6, ref.shape).astype(np.float32)
+    kp = float(blend_prior_lookup(table, ref + eps, ref - eps))
+    assert kp < 0.05
+
+
 def test_ai_accelerator_from_checkpoint(tmp_path):
     """from_checkpoint rebuilds the exact trained architecture (incl. the
     RGB realtime variant + transform + prior table) from the saved config."""
