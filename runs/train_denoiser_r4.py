@@ -203,12 +203,20 @@ budget = minutes * 60
 
 CUTS = (0.12, 0.24, 0.40)
 RT_WEIGHTS = tuple([0.1, 0.1, 0.2] + [0.6 / max(len(RT), 1)] * len(RT))
+# LITBOX_TRAIN_RT_ONLY=1: skip the accumulated-tier curriculum ramp and mix
+# realtime tiers from step 0 (for fine-tuning an already-trained checkpoint
+# on the production regime; keeps a 20% accumulated-tier floor so the
+# selection guard's acc profiles don't regress).
+RT_ONLY = os.environ.get("LITBOX_TRAIN_RT_ONLY", "0") == "1"
+RT_ONLY_WEIGHTS = tuple([0.05, 0.05, 0.10] + [0.8 / max(len(RT), 1)] * len(RT))
 
 
 def active_stage() -> str:
     f = (time.time() - t0) / budget
     if not have_rt:
         return ("Easy" if f < 0.3 else "Medium" if f < 0.6 else "Final")
+    if RT_ONLY:
+        return stage_names[int(rng.choice(len(stage_names), p=RT_ONLY_WEIGHTS))]
     for idx, c in enumerate(CUTS):
         if f < c:
             return stage_names[idx]
