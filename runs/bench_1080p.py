@@ -320,6 +320,58 @@ def main():
                                UchimuraShape())[0, 0, 0]
         return src_a, src_b, cache_a, cache_b, pix + 0.0 * k
 
+    # --pair-vmap: identical math, but the two tracers' trace stage runs as
+    # ONE vmapped XLA program over a stacked (2, ...) source pytree — the
+    # pair mode's cost gap vs single-tracer is dominated by duplicated
+    # fixed costs in two sequential trace graphs (36.5 vs 17.4 ms,
+    # runs/bench1080_r4_pair.log), and batching lets XLA share/widen them.
+    # Verified exactly equal to the sequential pair on CPU (bin-level 0.0
+    # diff) before benching.
+    @functools.partial(jax.jit, donate_argnames=(
+        "src2", "cache_a", "cache_b"))
+    def frame_step_pair_vmap(fields, src2, cache_a, cache_b, gb, lights,
+                             ftex, brdf, key, r, model_vars):
+        from litbox_tpu.nn.infer import blend_pair_symmetric
+
+        keys = jnp.stack(jax.random.split(key))
+        src2 = jax.vmap(
+            lambda s, k: trace_half(fields, s, gb, lights, ftex, brdf, k)
+        )(src2, keys)
+        src_a = jax.tree.map(lambda x: x[0], src2)
+        src_b = jax.tree.map(lambda x: x[1], src2)
+        if GROUPS > 1:
+            cache_a, raw_a = resolve_group(fields, src_a, cache_a, r)
+            cache_b, raw_b = resolve_group(fields, src_b, cache_b, r)
+        else:
+            raw_a = resolve(fields, src_a)
+            raw_b = resolve(fields, src_b)
+        iters = (r + 1).astype(jnp.float32)
+        hdr_a = to_hdr(raw_a, iters, gb, finalize_outscatter=True)
+        hdr_b = to_hdr(raw_b, iters, gb, finalize_outscatter=True)
+        out_a, out_b = denoise_pair(hdr_a, hdr_b, model_vars)
+        disp, k = blend_pair_symmetric(out_a, out_b, hdr_a, hdr_b)
+        pix = tonemap_uchimura(upsample(disp) * 0.5,
+                               UchimuraShape())[0, 0, 0]
+        return src2, cache_a, cache_b, pix + 0.0 * k
+
+    def pipelined_frames_pair_vmap(n_frames: int) -> float:
+        src2 = jax.tree.map(lambda x: jnp.stack([x, x]),
+                            rbt.zero_sources(fields))
+        cache_a = jnp.zeros((GROUPS, SIM_H, SIM_W, 3))
+        cache_b = jnp.zeros((GROUPS, SIM_H, SIM_W, 3))
+        key = jax.random.key(7)
+        src2, cache_a, cache_b, pix = frame_step_pair_vmap(
+            fields, src2, cache_a, cache_b, gb, lights, ftex, brdf,
+            key, jnp.int32(0), variables)
+        float(pix)
+        t0 = time.perf_counter()
+        for r in range(1, n_frames + 1):
+            src2, cache_a, cache_b, pix = frame_step_pair_vmap(
+                fields, src2, cache_a, cache_b, gb, lights, ftex,
+                brdf, jax.random.fold_in(key, r), jnp.int32(r), variables)
+        float(pix)
+        return (time.perf_counter() - t0 - rtt) / n_frames
+
     def pipelined_frames_pair(n_frames: int) -> float:
         src_a = rbt.zero_sources(fields)
         src_b = rbt.zero_sources(fields)
@@ -345,6 +397,11 @@ def main():
     key = jax.random.key(0)
     lights, ftex = scene.lights, scene.field_textures
 
+    if "--pair-vmap" in sys.argv:
+        t_pv = min(pipelined_frames_pair_vmap(30) for _ in range(2))
+        print(f"PAIR-VMAP PIPELINE (batched dual trace, auto-blend display): "
+              f"{t_pv*1000:7.2f} ms/frame = {1.0/t_pv:.1f} FPS (target 60)",
+              flush=True)
     if "--pair" in sys.argv:
         t_pair = min(pipelined_frames_pair(30) for _ in range(2))
         print(f"PAIR PIPELINE (dual tracer {PHOTONS//2}+{BOUNCE_PHOTONS//2} "
