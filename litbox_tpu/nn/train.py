@@ -54,6 +54,14 @@ class TrainConfig:
     # Train the 3-channel RGB variant (unet.LitboxDenoiserNet.out_channels):
     # the realtime display net — one pass per frame instead of three.
     rgb: bool = False
+    # Composition-in-the-loss (round 5, VERDICT r4 next #3): optimize the
+    # PRODUCTION display x + k*(d_a+d_b)/2 — with k the same per-crop
+    # cross-projection blend_pair_symmetric ships — against the reference,
+    # plus raw_loss_weight times the raw pair-mean output loss so the net
+    # keeps improving where k gates it out. Gradients flow through k: the
+    # net is optimized for exactly the image the engine displays.
+    pair_composition: bool = False
+    raw_loss_weight: float = 0.25
 
 
 def load_train_config(checkpoint_path: str) -> TrainConfig:
@@ -103,6 +111,7 @@ class Trainer:
         )
         self.opt_state = self.tx.init(self.params)
         self._step = self._build_step()
+        self._pair_step = self._build_pair_step() if cfg.pair_composition else None
         self.global_step = 0
 
     def _build_step(self):
@@ -124,6 +133,58 @@ class Trainer:
             return params, new_stats, opt_state, loss
 
         return step
+
+    def _build_pair_step(self):
+        """Gradient step on the PRODUCTION composition (TrainConfig
+        .pair_composition): both tracers denoise in one batched apply, the
+        displayed image is x + k*dbar with the per-crop cross-projection k
+        of nn.infer.blend_pair_symmetric, and the loss scores that display
+        (plus raw_loss_weight * the raw pair-mean output) against the
+        reference. Training and inference now optimize/serve the SAME
+        estimator end-to-end (VERDICT r4 next #3; reference analog: the
+        net IS the display path, AIAccelerator.cs:57-84)."""
+        model, cfg, tx = self.model, self.cfg, self.tx
+
+        @jax.jit
+        def step(params, batch_stats, opt_state, a, b, ref):
+            def loss_fn(p):
+                nb = a.shape[0]
+                xab = jnp.concatenate([a, b], axis=0)
+                xin, stats = pre_transform(xab, cfg.transform)
+                out, updates = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, xin,
+                    train=True, mutable=["batch_stats"])
+                pred = post_transform(out, stats, cfg.transform)
+                out_a, out_b = pred[:nb], pred[nb:]
+                d_a, d_b = out_a - a, out_b - b
+                dbar = (d_a + d_b) * 0.5
+                x = (a + b) * 0.5
+                axes = tuple(range(1, a.ndim))
+                num = ((d_a - d_b) * (b - a)).sum(axes) * 0.25
+                den = (dbar * dbar).sum(axes)
+                k = jnp.clip(num / jnp.maximum(den, 1e-12), 0.0, 1.0)
+                disp = x + k.reshape((-1,) + (1,) * (a.ndim - 1)) * dbar
+                loss = hdr_loss(disp, ref, cfg.loss)
+                if cfg.raw_loss_weight:
+                    loss = loss + cfg.raw_loss_weight * hdr_loss(
+                        (out_a + out_b) * 0.5, ref, cfg.loss)
+                return loss, updates["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt_state, loss
+
+        return step
+
+    def train_batch_pair_async(self, a, b, ref):
+        """Composition-in-the-loss step (pair_composition=True); returns
+        the DEVICE loss array like train_batch_async."""
+        self.params, self.batch_stats, self.opt_state, loss = self._pair_step(
+            self.params, self.batch_stats, self.opt_state, a, b, ref)
+        self.global_step += 1
+        return loss
 
     @staticmethod
     def select_random_channel(batch: dict, rng: np.random.Generator):

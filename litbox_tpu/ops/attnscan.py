@@ -55,10 +55,10 @@ def _scan_kernel_factory(width: int, n_steps: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("group", "n_groups"))
+@functools.partial(jax.jit, static_argnames=("group", "n_groups", "src_offset"))
 def attenuation_scan_rows(t: jax.Array, src0: jax.Array, src1: jax.Array,
                           src2: jax.Array, group: int = 0,
-                          n_groups: int = 1) -> tuple:
+                          n_groups: int = 1, src_offset: int = 0) -> tuple:
     """Per-row affine scan of 3 channels over (D, S, S) fields.
 
     Returns (dep0, dep1, dep2), each (D//n_groups, S, S) float32:
@@ -70,23 +70,34 @@ def attenuation_scan_rows(t: jax.Array, src0: jax.Array, src1: jax.Array,
     (D, S, S) inputs (a materialized `t[group::n_groups]` gather measured
     ~3 ms of the ~12 ms grouped resolve at S=640/D=128,
     runs/prof_groups.py vs prof_resolve6.py).
+
+    src_offset (static): the src arrays may carry a LEADING TRACER AXIS
+    flattened tracer-major to (T*D, S, S) while t stays (D, S, S) — the
+    dual-tracer pair shares one set of rotated transport fields (same
+    scene), so scanning tracer k's block means reading src blocks at
+    src_offset = k*D while t blocks stay at the bin index. Pure index-map
+    arithmetic; no sliced copy of the (T*D, S, S) sources.
     """
     d, rows, width = t.shape
     assert width % 128 == 0, width  # lane alignment for pltpu.roll
     assert d % n_groups == 0 and 0 <= group < n_groups
+    assert src0.shape[0] >= src_offset + d
     dg = d // n_groups
     blk = ROW_BLOCK
     while rows % blk:
         blk //= 2
     n_steps = max(int(np.ceil(np.log2(width))), 1)
     kernel = _scan_kernel_factory(width, n_steps)
-    in_spec = pl.BlockSpec((1, blk, width),
-                           lambda i, j: (group + i * n_groups, j, 0))
+    t_spec = pl.BlockSpec((1, blk, width),
+                          lambda i, j: (group + i * n_groups, j, 0))
+    src_spec = pl.BlockSpec(
+        (1, blk, width),
+        lambda i, j: (src_offset + group + i * n_groups, j, 0))
     out_spec = pl.BlockSpec((1, blk, width), lambda i, j: (i, j, 0))
     out = pl.pallas_call(
         kernel,
         grid=(dg, rows // blk),
-        in_specs=[in_spec] * 4,
+        in_specs=[t_spec] + [src_spec] * 3,
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=tuple(jax.ShapeDtypeStruct((dg, rows, width), jnp.float32)
                         for _ in range(3)),

@@ -147,10 +147,17 @@ def _inject_flat(src_accum: tuple, flat_idx: jax.Array, energy: jax.Array) -> tu
     return tuple(out)
 
 
-def zero_sources(fields: RotatedFields) -> tuple:
-    """Fresh per-channel source buffers (3 x (D, S, S))."""
+def zero_sources(fields: RotatedFields, n_tracers: int = 1) -> tuple:
+    """Fresh per-channel source buffers (3 x (T*D, S, S), tracer-major).
+
+    n_tracers > 1 lays the dual-tracer pair's sources out as one buffer
+    with a leading tracer axis flattened into the bin axis — the native
+    layout of rbt_trace_frame(n_tracers=T), which traces every tracer's
+    photons in ONE combined batch (tracer identity only offsets the
+    deposit bin block) and pays the frame's fixed costs once instead of
+    once per tracer."""
     d, s = fields.n_bins, fields.size
-    return tuple(jnp.zeros((d, s, s)) for _ in range(3))
+    return tuple(jnp.zeros((n_tracers * d, s, s)) for _ in range(3))
 
 
 ANALYTIC_STAMP = 16  # disk stamp width; point lights with radius > stamp/2-1 fall back to MC
@@ -176,7 +183,7 @@ def analytic_light_mask(lights, override_bounces=None) -> jax.Array:
 
 
 def _analytic_point_deposits(lights, light_mask, fields: RotatedFields,
-                             pixel_count: float):
+                             pixel_count: float, n_tracers: int = 1):
     """Noise-free direct-light deposit stream for point lights.
 
     A point light emits uniformly over a disk with isotropic directions, so
@@ -230,7 +237,15 @@ def _analytic_point_deposits(lights, light_mask, fields: RotatedFields,
         all_flat.append(flat.reshape(-1))
         all_vals.append(jnp.broadcast_to(vals, (d_bins, stamp, stamp, 3)).reshape(-1, 3))
 
-    return jnp.concatenate(all_flat), jnp.concatenate(all_vals)
+    flat = jnp.concatenate(all_flat)
+    vals = jnp.concatenate(all_vals)
+    if n_tracers > 1:
+        # The analytic expectation is deterministic — every tracer's field
+        # receives the same per-frame rate at its own bin block.
+        offs = jnp.arange(n_tracers, dtype=jnp.int32) * (d_bins * s * s)
+        flat = (flat[None, :] + offs[:, None]).reshape(-1)
+        vals = jnp.tile(vals, (n_tracers, 1))
+    return flat, vals
 
 
 def collimated_light_mask(lights, override_bounces=None) -> jax.Array:
@@ -454,7 +469,7 @@ def _flight_stratified(fields: RotatedFields, pos: jax.Array, live: jax.Array,
 
 def _mc_point_hist_deposits(lights, fields: RotatedFields,
                             n_photons: int, key, override_bounces,
-                            pixel_count: float):
+                            pixel_count: float, n_tracers: int = 1):
     """Monte-Carlo direct deposit stream for all-point-light scenes,
     aggregated as a per-(bin, light) stamp histogram instead of a 2M-wide
     scatter. Returns (flat_idx, values, n_emitted).
@@ -471,19 +486,29 @@ def _mc_point_hist_deposits(lights, fields: RotatedFields,
     energy_l * (W*H) / (2pi * rays_l); the histogram multiplies counts by
     that constant. Requires every active light to pass analytic_light_mask
     geometry (radius < STAMP/2 - 1) so the stamp never clips.
+
+    n_tracers > 1 splits the n photons into T independent tracer batches
+    inside the SAME histogram pass: the slot axis widens to T*cap
+    (slot j belongs to tracer j // cap, light l_of_slot[j % cap] — iid
+    draws, so the T blocks are independent estimators exactly like T
+    separate emissions), counts gain a tracer class offset, and each
+    tracer's aggregate lands at its own bin block tr*D of the (T*D, S, S)
+    sources. Per-tracer energy normalizes by the PER-TRACER ray count
+    cap*D, matching what T separate half-batch calls would do.
     """
     d_bins, s = fields.n_bins, fields.size
     capacity = lights.capacity
     stamp = ANALYTIC_STAMP
-    cap = -(-n_photons // d_bins)
-    n_emitted = cap * d_bins
+    cap = -(-n_photons // (d_bins * n_tracers))
+    n_emitted = cap * d_bins * n_tracers
 
     l_of_slot, slots = assign_photons_to_lights(lights, cap)
-    aff = take_per_light(lights.affine, l_of_slot)             # (cap, 2, 3)
-    rel_slot = aff[:, :, 2] - fields.center                    # (cap, 2)
+    l_slot_t = jnp.tile(l_of_slot, n_tracers)                  # (T*cap,)
+    aff = take_per_light(lights.affine, l_slot_t)              # (T*cap, 2, 3)
+    rel_slot = aff[:, :, 2] - fields.center                    # (T*cap, 2)
 
     # Disk offsets in the target frame (light affine scales/rotates).
-    u = jax.random.uniform(key, (d_bins, cap, 2))
+    u = jax.random.uniform(key, (d_bins, cap * n_tracers, 2))
     disk = unit_from_angle(u[..., 0] * TWO_PI) * jnp.sqrt(u[..., 1])[..., None]
     off = affine_linear(aff[None], disk)                       # (D, cap, 2)
 
@@ -504,32 +529,41 @@ def _mc_point_hist_deposits(lights, fields: RotatedFields,
           - sbp * off[..., 0] + cbp * off[..., 1])
     ix = jnp.floor(xr).astype(jnp.int32)
     iy = jnp.floor(yr).astype(jnp.int32)
-    ax_slot = take_per_light(axl.T, l_of_slot).T               # (D, cap)
-    ay_slot = take_per_light(ayl.T, l_of_slot).T
+    ax_slot = take_per_light(axl.T, l_slot_t).T                # (D, T*cap)
+    ay_slot = take_per_light(ayl.T, l_slot_t).T
     lx = jnp.clip(ix - ax_slot, 0, stamp - 1)
     ly = jnp.clip(iy - ay_slot, 0, stamp - 1)
-    col = l_of_slot[None] * (stamp * stamp) + ly * stamp + lx  # (D, cap)
+    col = l_slot_t[None] * (stamp * stamp) + ly * stamp + lx   # (D, T*cap)
+    if n_tracers > 1:
+        tr = (jnp.arange(cap * n_tracers, dtype=jnp.int32) // cap)
+        col = col + tr[None, :] * (capacity * stamp * stamp)
 
     # Fused one-hot count reduction (XLA keeps the one-hot virtual).
     counts = jnp.sum(
-        jax.nn.one_hot(col, capacity * stamp * stamp, dtype=jnp.float32),
-        axis=1).reshape(d_bins, capacity, stamp * stamp)
+        jax.nn.one_hot(col, n_tracers * capacity * stamp * stamp,
+                       dtype=jnp.float32),
+        axis=1).reshape(d_bins, n_tracers, capacity, stamp * stamp)
 
-    # Per-light photon energy constant (same for every slot of a light).
+    # Per-light photon energy constant (same for every slot of a light);
+    # rays_l is the PER-TRACER ray count — each tracer block is its own
+    # estimator normalized by its own emission.
     bounces_l = jnp.where(override_bounces >= 0, override_bounces, lights.bounces)
     rays_l = jnp.maximum(slots * d_bins, 1).astype(jnp.float32)
     e_l = (lights.energy * (pixel_count / TWO_PI) / rays_l[:, None]
            * lights.active.astype(jnp.float32)[:, None]
            * (bounces_l > 0).astype(jnp.float32)[:, None])     # (L, 3)
-    vals = counts[..., None] * e_l[None, :, None, :]           # (D, L, S^2c, 3)
+    vals = (counts[..., None] * e_l[None, None, :, None, :]    # (D, T, L, c, 3)
+            ).transpose(1, 0, 2, 3, 4)                         # (T, D, L, c, 3)
 
-    # Aggregate scatter: D*L*stamp^2 cells.
+    # Aggregate scatter: T*D*L*stamp^2 cells.
     oy = jnp.arange(stamp, dtype=jnp.int32)
     ox = jnp.arange(stamp, dtype=jnp.int32)
     gy = ayl[:, :, None, None] + oy[None, None, :, None]       # (D, L, st, st)
     gx = axl[:, :, None, None] + ox[None, None, None, :]
     flat = ((jnp.arange(d_bins, dtype=jnp.int32)[:, None, None, None] * s + gy)
             * s + gx)
+    offs = jnp.arange(n_tracers, dtype=jnp.int32) * (d_bins * s * s)
+    flat = flat[None] + offs.reshape(-1, 1, 1, 1, 1)           # (T, D, L, st, st)
     return flat.reshape(-1), vals.reshape(-1, 3), n_emitted
 
 
@@ -537,16 +571,27 @@ def _mc_scatter_deposits(lights, field_textures,
                          fields: RotatedFields, gbuffer: GBuffer,
                          n_photons: int, key, override_bounces,
                          light_kinds, exclude_analytic: bool,
-                         exclude_collimated: bool = False):
+                         exclude_collimated: bool = False,
+                         n_tracers: int = 1):
     """Generic Monte-Carlo direct deposit stream: emit n photons across all
     lights; their energy lands at their rotated emission cells (the TPU
     expression of WritePhoton's InterlockedAdd,
-    ForwardMonteCarlo.compute:68-86). Returns (flat_idx, values)."""
+    ForwardMonteCarlo.compute:68-86). Returns (flat_idx, values).
+
+    n_tracers > 1: one emission of n photons partitioned into T
+    independent per-tracer blocks (photon j belongs to tracer j // (n/T)),
+    each normalized by its own n/T ray count and depositing into its own
+    bin block of the (T*D, S, S) sources."""
     height, width = gbuffer.transmissibility.shape
     d_bins, s = fields.n_bins, fields.size
     bin_width = 2 * jnp.pi / d_bins
 
-    l_idx, rays_per_light = assign_photons_to_lights(lights, n_photons)
+    n_per = n_photons // n_tracers
+    l_idx, rays_per_light = assign_photons_to_lights(lights, n_per)
+    if n_tracers > 1:
+        l_idx = jnp.tile(l_idx, n_tracers)
+    # rays_per_light stays PER-TRACER: emit() normalizes each photon's
+    # energy by its light's entry here, which is the per-tracer count.
     pos, direction, energy, bounces = emit(
         lights, field_textures, l_idx, rays_per_light, key,
         (height, width), jnp.float32(1.0), override_bounces,
@@ -562,7 +607,10 @@ def _mc_scatter_deposits(lights, field_textures,
 
     theta = jnp.arctan2(direction[:, 1], direction[:, 0])
     b = jnp.round(theta / bin_width - fields.phase).astype(jnp.int32) % d_bins
-    ang = (b.astype(jnp.float32) + fields.phase) * bin_width
+    if n_tracers > 1:
+        b = b + (jnp.arange(n_per * n_tracers, dtype=jnp.int32)
+                 // n_per) * d_bins
+    ang = (b.astype(jnp.float32) % d_bins + fields.phase) * bin_width
     xr, yr = _rotated_coords(fields, pos, jnp.cos(ang), jnp.sin(ang))
     ix = jnp.clip(jnp.floor(xr).astype(jnp.int32), 0, s - 1)
     iy = jnp.clip(jnp.floor(yr).astype(jnp.int32), 0, s - 1)
@@ -573,7 +621,7 @@ def _mc_scatter_deposits(lights, field_textures,
 def _bounce_chain_deposits(fields: RotatedFields, gbuffer: GBuffer,
                            lights, field_textures, brdf_lut, key, k_photons: int,
                            override_bounces, max_bounces: int, enable_brdf: bool,
-                           light_kinds, stratified: bool):
+                           light_kinds, stratified: bool, n_tracers: int = 1):
     """Trace k bounce chains; return their wave >= 1 deposit stream
     (flat_idx, values) — all waves concatenated so the frame pays one
     scatter, not one per wave.
@@ -584,6 +632,13 @@ def _bounce_chain_deposits(fields: RotatedFields, gbuffer: GBuffer,
     and emit() normalizes per-photon energy by k, which IS the n/k
     roulette rescale. Direct (wave-0) deposits are NOT produced here —
     the direct phase covered all n photons.
+
+    n_tracers > 1: the k chains split into T independent per-tracer
+    blocks flown in the SAME batch. Flight, material lookup, and scatter
+    are tracer-blind (same transport fields — one shared scene); tracer
+    identity only offsets each chain's deposit bin by tr*D, so the whole
+    dual-tracer bounce phase costs what a single tracer's k chains do.
+    Per-tracer energy normalizes by the per-tracer emission count.
     """
     height, width = gbuffer.transmissibility.shape
     d_bins, s = fields.n_bins, fields.size
@@ -596,8 +651,12 @@ def _bounce_chain_deposits(fields: RotatedFields, gbuffer: GBuffer,
 
     wave0 = None
     if stratified:
-        cap = -(-k_photons // d_bins)
+        cap = -(-k_photons // (d_bins * n_tracers))
         l_of_slot, slots = assign_photons_to_lights(lights, cap)
+        if n_tracers > 1:
+            l_of_slot = jnp.tile(l_of_slot, n_tracers)
+        # slots stays PER-TRACER: emit_point_stratified normalizes light
+        # l's photons by slots[l]*D — each tracer block's own ray count.
         pos, direction, energy, bounces = emit_point_stratified(
             lights, l_of_slot, slots, d_bins, fields.phase, k_emit,
             (height, width), jnp.float32(1.0), override_bounces)
@@ -605,16 +664,22 @@ def _bounce_chain_deposits(fields: RotatedFields, gbuffer: GBuffer,
         live0 = 0 < bounces
         u_tp = jax.random.uniform(k_tp, bounces.shape)
         p_hit, t_esc, found = _flight_stratified(fields, pos, live0, u_tp)
-        flat = lambda a: a.reshape((d_bins * cap,) + a.shape[2:])
+        flat = lambda a: a.reshape((d_bins * cap * n_tracers,) + a.shape[2:])
         pos, direction, energy, bounces = map(
             flat, (pos, direction, energy, bounces))
         wave0 = (flat(p_hit), flat(t_esc), flat(found))
+        tracer_of = jnp.tile(
+            jnp.arange(cap * n_tracers, dtype=jnp.int32) // cap, d_bins)
     else:
-        l_idx, rays_per_light = assign_photons_to_lights(lights, k_photons)
+        k_per = k_photons // n_tracers
+        l_idx, rays_per_light = assign_photons_to_lights(lights, k_per)
+        if n_tracers > 1:
+            l_idx = jnp.tile(l_idx, n_tracers)
         pos, direction, energy, bounces = emit(
             lights, field_textures, l_idx, rays_per_light, k_emit,
             (height, width), jnp.float32(1.0), override_bounces,
             active_kinds=light_kinds)
+        tracer_of = jnp.arange(k_per * n_tracers, dtype=jnp.int32) // k_per
 
     m = pos.shape[0]
     dead = jnp.zeros(m, bool)
@@ -667,6 +732,8 @@ def _bounce_chain_deposits(fields: RotatedFields, gbuffer: GBuffer,
         xr, yr = _rotated_coords(fields, pos, jnp.cos(ang), jnp.sin(ang))
         ix = jnp.clip(jnp.floor(xr).astype(jnp.int32), 0, s - 1)
         iy = jnp.clip(jnp.floor(yr).astype(jnp.int32), 0, s - 1)
+        if n_tracers > 1:
+            b = b + tracer_of * d_bins
         all_flat.append((b * s + iy) * s + ix)
         all_vals.append(jnp.where(live_next[:, None], energy, 0.0))
     return jnp.concatenate(all_flat), jnp.concatenate(all_vals)
@@ -675,7 +742,7 @@ def _bounce_chain_deposits(fields: RotatedFields, gbuffer: GBuffer,
 @functools.partial(jax.jit, static_argnames=(
     "n_photons", "max_bounces", "analytic_direct", "bounce_photons",
     "mc_direct", "enable_brdf", "light_kinds", "hist_direct",
-    "exact_collimated"),
+    "exact_collimated", "n_tracers"),
     donate_argnames=("src_accum",))
 def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffer,
                     lights, field_textures, brdf_lut, key,
@@ -684,12 +751,27 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
                     mc_direct: bool = True, enable_brdf: bool = True,
                     light_kinds: tuple | None = None,
                     hist_direct: bool = False,
-                    exact_collimated: bool = False):
+                    exact_collimated: bool = False,
+                    n_tracers: int = 1):
     """Trace one frame's photons; accumulate sources into src_accum.
 
     Returns (src_accum, photons_emitted); src_accum is the per-channel
-    source buffer tuple (3 x (D, S, S)). The lightmap itself is produced by
-    resolve_raw (deferred scan + rotate-back).
+    source buffer tuple (3 x (n_tracers*D, S, S)). The lightmap itself is
+    produced by resolve_raw (deferred scan + rotate-back).
+
+    n_tracers > 1 — the NATIVE dual-tracer axis (the reference runs two
+    independent tracers per frame purely for variance estimation,
+    Simulation.cs:78): n_photons and bounce_photons are TOTALS split into
+    T independent per-tracer blocks traced in ONE combined batch. Tracer
+    identity only offsets a photon's deposit bin by tr*D into the
+    tracer-major source buffer; emission, flight, and material scatter are
+    tracer-blind because the pair shares one scene and one set of rotated
+    fields. This pays the frame's fixed costs (histogram reduction, scan
+    steps, per-wave flight math, ONE full-target scatter) once instead of
+    once per tracer — two sequential half-batch traces measured ~2x this
+    (runs/bench1080_r4_pair.log vs r5). Each tracer's block is normalized
+    by its OWN ray count, so resolve_raw(tracer=t) is distributed
+    identically to a separate half-batch tracer.
 
     The frame is two decoupled estimator phases (equal in distribution to
     the reference's single photon loop, ForwardMonteCarlo.compute:107-216):
@@ -728,20 +810,23 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
     if analytic_direct:
         light_mask = analytic_light_mask(lights, override_bounces)
         f, v = _analytic_point_deposits(lights, light_mask, fields,
-                                        float(width * height))
+                                        float(width * height),
+                                        n_tracers=n_tracers)
         all_flat.append(f)
         all_vals.append(v)
     if mc_direct:
         if hist_direct:
             f, v, n_emitted = _mc_point_hist_deposits(
                 lights, fields, n_photons, k_direct,
-                override_bounces, float(width * height))
+                override_bounces, float(width * height),
+                n_tracers=n_tracers)
         else:
             f, v = _mc_scatter_deposits(
                 lights, field_textures, fields, gbuffer,
                 n_photons, k_direct, override_bounces, light_kinds,
                 exclude_analytic=analytic_direct,
-                exclude_collimated=exact_collimated)
+                exclude_collimated=exact_collimated,
+                n_tracers=n_tracers)
         all_flat.append(f)
         all_vals.append(v)
 
@@ -751,7 +836,7 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
         f, v = _bounce_chain_deposits(
             fields, gbuffer, lights, field_textures, brdf_lut,
             k_bounce, k, override_bounces, max_bounces, enable_brdf,
-            light_kinds, stratified)
+            light_kinds, stratified, n_tracers=n_tracers)
         all_flat.append(f)
         all_vals.append(v)
 
@@ -852,10 +937,11 @@ def rotate_back(fields: RotatedFields, deposited: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "traced_phase",
-                                              "group", "n_groups"))
+                                              "group", "n_groups", "tracer"))
 def resolve_raw(fields: RotatedFields, src_accum: jax.Array,
                 height: int, width: int, traced_phase: bool = False,
-                group: int = 0, n_groups: int = 1) -> jax.Array:
+                group: int = 0, n_groups: int = 1,
+                tracer: int = 0) -> jax.Array:
     """Scan + rotate-back in one jitted call -> raw (H, W, 3) deposit map
     (the analog of the oracle's accumulated `raw`; feed to oracle.to_hdr).
 
@@ -869,7 +955,13 @@ def resolve_raw(fields: RotatedFields, src_accum: jax.Array,
     (the per-bin math is identical; only the reduction partition differs).
     The realtime display path resolves one angular group per frame and
     composes the n_groups cached partials — exact for static accumulation,
-    a bounded angular lag when animating (tracers.RBTForwardIntegrator)."""
+    a bounded angular lag when animating (tracers.RBTForwardIntegrator).
+
+    tracer (static) selects one tracer block of a tracer-major
+    (T*D, S, S) source buffer produced by rbt_trace_frame(n_tracers=T):
+    the scan reads src blocks at offset tracer*D while the shared
+    (D, S, S) transport fields index by bin — pure BlockSpec arithmetic,
+    no sliced copy of the sources."""
     s, d = fields.size, fields.n_bins
     bins = range(group, d, n_groups)
     if jax.default_backend() == "tpu" and s % 128 == 0 and len(bins) >= 8:
@@ -879,7 +971,8 @@ def resolve_raw(fields: RotatedFields, src_accum: jax.Array,
         # Group selection happens inside the scan's BlockSpec index_map
         # (strided HBM block reads, no sliced-copy of the (D, S, S) inputs).
         dep = attenuation_scan_rows(fields.trans, *src_accum,
-                                    group=group, n_groups=n_groups)
+                                    group=group, n_groups=n_groups,
+                                    src_offset=tracer * d)
         oy = (s - height) // 2
         ox = (s - width) // 2
         base = tuple(-i * 2.0 * np.pi / d for i in bins)
@@ -896,6 +989,10 @@ def resolve_raw(fields: RotatedFields, src_accum: jax.Array,
         out = rotate_planar_sum(dep, base, delta, max_delta, lo, hi)
         out = out[:, oy - lo:oy - lo + height, ox:ox + width]
         return jnp.moveaxis(out, 0, -1)
+    if tracer or src_accum[0].shape[0] != d:
+        # Generic paths: materialize the tracer block (tests/CPU only —
+        # the TPU fast path above never slices).
+        src_accum = tuple(ch[tracer * d:(tracer + 1) * d] for ch in src_accum)
     if n_groups == 1:
         deposited = attenuation_scan(fields, src_accum)
         return rotate_back(fields, deposited, height, width,

@@ -18,16 +18,25 @@ threaded through jit as an ARGUMENT. Closing over any of them bakes it into
 the HLO as a constant and the tunnel's remote-compile endpoint rejects the
 multi-hundred-MB payload (HTTP 413, runs/bench1080_f32.log round 1).
 
---pair benches the TRUE production frame (VERDICT r3 next #4): BOTH
-tracers trace PHOTONS/2 + BOUNCE/2 each (same total ray budget as the
-single-tracer mode, so the non-denoised estimate has identical variance),
-each keeps its own grouped-resolve cache, and the display runs
-AIAccelerator blend='auto' — one batched UNet pass over the pair
-(engine.pipeline.denoise_pair_hdr), per-frame k from
-nn.infer.blend_pair_symmetric, blended pair mean -> upsample -> tonemap.
+--pair benches the TRUE production frame (VERDICT r3 next #4) on the
+NATIVE TRACER AXIS (round 5): ONE rbt_trace_frame(n_tracers=2) call traces
+both tracers' photons in a combined batch into a tracer-major (2D, S, S)
+source buffer (same total ray budget as the single-tracer mode, so the
+non-denoised estimate has identical variance), ONE alternating grouped
+resolve per frame refreshes tracer r%2's group (r//2)%K (so per-frame
+resolve cost equals the single-tracer mode's; each tracer's partials
+refresh at half cadence — the same bounded-lag trade grouped resolve
+already makes), and the display runs AIAccelerator blend='auto' — one
+batched UNet pass over the pair (engine.pipeline.denoise_pair_hdr),
+per-frame k from nn.infer.blend_pair_symmetric, blended pair mean ->
+upsample -> tonemap. --pair-seq keeps the round-4 two-sequential-traces
+path as an ablation (36.5 ms vs this path, runs/bench1080_r4_pair.log).
 
-Usage: python runs/bench_1080p.py [checkpoint.npz] [--bf16] [--photons N]
-         [--bounce N] [--bins D] [--frames N] [--pair]
+bf16 display precision defaults from REALTIME_1080P.bf16_display (the
+profile is the single source of truth); --f32 overrides for ablations.
+
+Usage: python runs/bench_1080p.py [checkpoint.npz] [--f32] [--photons N]
+         [--bounce N] [--bins D] [--frames N] [--pair|--pair-seq]
 """
 import functools
 import sys
@@ -105,7 +114,9 @@ def main():
                    if f in sys.argv}
     ckpt = next((a for a in sys.argv[1:] if not a.startswith("--")
                  and a not in flag_values), None)
-    use_bf16 = "--bf16" in sys.argv
+    # Display precision defaults from the pinned profile (ADVICE r4 #3);
+    # --f32 is the ablation override (--bf16 stays accepted for back-compat).
+    use_bf16 = PROF.bf16_display and "--f32" not in sys.argv
 
     scene, gb, brdf, fields = build()
     # --rgb / --pad zeros / --unet / --feats: bench the realtime display
@@ -275,7 +286,70 @@ def main():
         float(pix)  # the only host sync: forces the whole dispatch chain
         return (time.perf_counter() - t0 - rtt) / n_frames
 
-    # ---- TRUE production frame: dual tracer + auto-blend display ----
+    # ---- TRUE production frame, NATIVE TRACER AXIS (round 5) ----
+    # One combined trace call (n_tracers=2, full PHOTONS/BOUNCE budget
+    # split internally), tracer-major (2D, S, S) sources, ONE alternating
+    # grouped resolve per frame. See module docstring.
+    def trace_pair(fields, src2, gb, lights, ftex, brdf, key):
+        src2, _ = rbt.rbt_trace_frame(
+            fields, src2, gb, lights, ftex, brdf, key,
+            PHOTONS, jnp.int32(-1), max_bounces=2,
+            bounce_photons=BOUNCE_PHOTONS, mc_direct=True,
+            analytic_direct=False, enable_brdf=False, light_kinds=(1,),
+            hist_direct=True, n_tracers=2)
+        return src2
+
+    def resolve_group_pair(fields, src2, cache, i):
+        """Refresh ONE (tracer, group) partial: tracer i%2, group (i//2)%K.
+        cache is (2, K, H, W, 3); returns (cache, raw_a, raw_b)."""
+        slot = i % (2 * GROUPS)
+        part = jax.lax.switch(slot, [
+            (lambda f, s, t=t, g=g: rbt.resolve_raw(
+                f, s, SIM_H, SIM_W, group=g, n_groups=GROUPS, tracer=t))
+            for g in range(GROUPS) for t in range(2)], fields, src2)
+        t = slot % 2
+        g = slot // 2
+        cache = jax.lax.dynamic_update_slice(cache, part[None, None],
+                                             (t, g, 0, 0, 0))
+        return cache, cache[0].sum(0), cache[1].sum(0)
+
+    @functools.partial(jax.jit, donate_argnames=("src2", "cache"))
+    def frame_step_pair_native(fields, src2, cache, gb, lights, ftex, brdf,
+                               key, r, model_vars):
+        from litbox_tpu.nn.infer import blend_pair_symmetric
+
+        src2 = trace_pair(fields, src2, gb, lights, ftex, brdf, key)
+        if GROUPS > 1:
+            cache, raw_a, raw_b = resolve_group_pair(fields, src2, cache, r)
+        else:
+            raw_a = rbt.resolve_raw(fields, src2, SIM_H, SIM_W, tracer=0)
+            raw_b = rbt.resolve_raw(fields, src2, SIM_H, SIM_W, tracer=1)
+        iters = (r + 1).astype(jnp.float32)
+        hdr_a = to_hdr(raw_a, iters, gb, finalize_outscatter=True)
+        hdr_b = to_hdr(raw_b, iters, gb, finalize_outscatter=True)
+        out_a, out_b = denoise_pair(hdr_a, hdr_b, model_vars)
+        disp, k = blend_pair_symmetric(out_a, out_b, hdr_a, hdr_b)
+        pix = tonemap_uchimura(upsample(disp) * 0.5,
+                               UchimuraShape())[0, 0, 0]
+        return src2, cache, pix + 0.0 * k
+
+    def pipelined_frames_pair_native(n_frames: int) -> float:
+        src2 = rbt.zero_sources(fields, n_tracers=2)
+        cache = jnp.zeros((2, GROUPS, SIM_H, SIM_W, 3))
+        key = jax.random.key(7)
+        src2, cache, pix = frame_step_pair_native(
+            fields, src2, cache, gb, lights, ftex, brdf, key,
+            jnp.int32(0), variables)
+        float(pix)
+        t0 = time.perf_counter()
+        for r in range(1, n_frames + 1):
+            src2, cache, pix = frame_step_pair_native(
+                fields, src2, cache, gb, lights, ftex, brdf,
+                jax.random.fold_in(key, r), jnp.int32(r), variables)
+        float(pix)
+        return (time.perf_counter() - t0 - rtt) / n_frames
+
+    # ---- round-4 sequential pair (ablation; --pair-seq) ----
     def trace_half(fields, src, gb, lights, ftex, brdf, key):
         src, _ = rbt.rbt_trace_frame(
             fields, src, gb, lights, ftex, brdf, key,
@@ -402,10 +476,79 @@ def main():
         print(f"PAIR-VMAP PIPELINE (batched dual trace, auto-blend display): "
               f"{t_pv*1000:7.2f} ms/frame = {1.0/t_pv:.1f} FPS (target 60)",
               flush=True)
-    if "--pair" in sys.argv:
+    if "--pair-prof" in sys.argv:
+        # Stage attribution for the native pair frame: trace / resolve /
+        # display timed separately with the same chaining methodology as
+        # the single-tracer stage timers.
+        @jax.jit
+        def trace_pair_frames(fields, src2, gb, lights, ftex, brdf, key):
+            def body(src2, i):
+                return trace_pair(fields, src2, gb, lights, ftex, brdf,
+                                  jax.random.fold_in(key, i)), 0.0
+            src2, _ = jax.lax.scan(body, src2, jnp.arange(FRAMES))
+            return src2[0][0, 0, 0]
+
+        @jax.jit
+        def resolve_pair_frames(fields, src2):
+            cache0 = jnp.zeros((2, GROUPS, SIM_H, SIM_W, 3))
+
+            def body(carry, i):
+                c, cache = carry
+                srci = tuple(ch.at[0, 0, 0].add(c * 1e-30) for ch in src2)
+                cache, raw_a, raw_b = resolve_group_pair(fields, srci, cache, i)
+                return (c + raw_a[0, 0, 0] + raw_b[0, 0, 0], cache), 0.0
+            (c, _), _ = jax.lax.scan(body, (jnp.float32(0.0), cache0),
+                                     jnp.arange(FRAMES))
+            return c
+
+        @jax.jit
+        def display_pair_once(raw_a, raw_b, gb, model_vars):
+            from litbox_tpu.nn.infer import blend_pair_symmetric
+
+            hdr_a = to_hdr(raw_a, jnp.float32(1.0), gb, finalize_outscatter=True)
+            hdr_b = to_hdr(raw_b, jnp.float32(1.0), gb, finalize_outscatter=True)
+            out_a, out_b = denoise_pair(hdr_a, hdr_b, model_vars)
+            disp, k = blend_pair_symmetric(out_a, out_b, hdr_a, hdr_b)
+            return tonemap_uchimura(upsample(disp) * 0.5,
+                                    UchimuraShape())[0, 0, 0] + 0.0 * k
+
+        def time_fn2(name, fn, *args, per_frame=FRAMES):
+            float(fn(*args))
+            float(fn(*args))
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(fn(*args))
+                best = min(best, time.perf_counter() - t0 - rtt)
+            dt = best / per_frame
+            print(f"{name}: {dt*1000:7.2f} ms/frame", flush=True)
+            return dt
+
+        src20 = rbt.zero_sources(fields, n_tracers=2)
+        time_fn2("pair trace  ", trace_pair_frames, fields, src20, gb, lights,
+                 ftex, brdf, key)
+        src21 = jax.jit(functools.partial(trace_pair))(
+            fields, rbt.zero_sources(fields, n_tracers=2), gb, lights, ftex,
+            brdf, key)
+        time_fn2("pair resolve", resolve_pair_frames, fields, src21)
+        raw_a1 = rbt.resolve_raw(fields, src21, SIM_H, SIM_W, tracer=0)
+        raw_b1 = rbt.resolve_raw(fields, src21, SIM_H, SIM_W, tracer=1)
+        time_fn2("pair display", display_pair_once, raw_a1, raw_b1, gb,
+                 variables, per_frame=1)
+        return
+    if "--pair-seq" in sys.argv:
         t_pair = min(pipelined_frames_pair(30) for _ in range(2))
-        print(f"PAIR PIPELINE (dual tracer {PHOTONS//2}+{BOUNCE_PHOTONS//2} "
-              f"x2, auto-blend display): {t_pair*1000:7.2f} ms/frame = "
+        print(f"PAIR-SEQ PIPELINE (r4 ablation: dual tracer "
+              f"{PHOTONS//2}+{BOUNCE_PHOTONS//2} x2, auto-blend display): "
+              f"{t_pair*1000:7.2f} ms/frame = "
+              f"{1.0/t_pair:.1f} FPS (target 60)", flush=True)
+        return
+    if "--pair" in sys.argv:
+        t_pair = min(pipelined_frames_pair_native(30) for _ in range(2))
+        print(f"PAIR PIPELINE (native tracer axis: one trace of "
+              f"{PHOTONS}+{BOUNCE_PHOTONS} over 2 tracers, alternating "
+              f"grouped resolve, auto-blend display): "
+              f"{t_pair*1000:7.2f} ms/frame = "
               f"{1.0/t_pair:.1f} FPS (target 60)", flush=True)
         return
 

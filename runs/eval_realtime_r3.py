@@ -155,10 +155,11 @@ if report and rows:
             + (" Inference uses the residual-blend factor k calibrated "
                "per tier on TRAINING scenes (nn.infer.fit_blend; the "
                "production AIAccelerator blend knob)." if USE_BLEND else "")
-            + (" Inference is the single-tracer self-calibrated blend (NOT the shipped pair-mean composition; see QUALITY.md) (AIAccelerator "
-               "blend='auto'): each sample self-calibrates k against the "
-               "other tracer of its pair (nn.infer.blend_from_pair) — no "
-               "reference data is used." if PAIR_BLEND else "")
+            + (" Inference is the single-tracer self-calibrated blend "
+               "(nn.infer.blend_from_pair; NOT the shipped pair-mean "
+               "composition — see QUALITY.md for production numbers): each "
+               "sample self-calibrates k against the other tracer of its "
+               "pair — no reference data is used." if PAIR_BLEND else "")
             + "\n\n")
         f.write("| tier | n | noisy dB | denoised dB | gain dB |\n"
                 "|---|---|---|---|---|\n")

@@ -271,7 +271,8 @@ def main():
     # independent-noise evidence).
     prior = fit_prior(fn, rgb, ("InputRT0", "InputRT1", "Input1", "Input0"),
                       n_scenes=min(6, MAX_SCENES))
-    np.save("/root/repo/runs/blend_prior_diag.npy", prior)
+    np.save(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "blend_prior_diag.npy"), prior)
 
     def table(title, prefixes):
         w(f"## {title}")

@@ -527,3 +527,87 @@ def test_resolve_groups_setter():
     integ.resolve_groups = 8  # partition changed -> caches reset
     assert integ._group_rate == {} and integ._group_sum is None
     assert integ._group_next == 0 and integ._group_display is None
+
+
+# ---------- native tracer axis (round 5: rbt_trace_frame n_tracers) ----------
+
+
+def test_resolve_tracer_offset_exact(setup):
+    """resolve_raw(tracer=t) on a tracer-major (T*D, S, S) source buffer
+    equals resolving that tracer's block alone — exactly (the TPU path is
+    pure BlockSpec index arithmetic; the generic path slices)."""
+    _, _, _, fields = setup
+    rng = np.random.default_rng(3)
+    d, s = fields.n_bins, fields.size
+    src_a = tuple(jnp.asarray(rng.uniform(0, 1, (d, s, s)).astype(np.float32))
+                  for _ in range(3))
+    src_b = tuple(jnp.asarray(rng.uniform(0, 1, (d, s, s)).astype(np.float32))
+                  for _ in range(3))
+    src2 = tuple(jnp.concatenate([a, b]) for a, b in zip(src_a, src_b))
+    for t, ref_src in ((0, src_a), (1, src_b)):
+        ref = rbt.resolve_raw(fields, ref_src, W, W)
+        got = rbt.resolve_raw(fields, src2, W, W, tracer=t)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    # Grouped per-tracer resolve still partitions exactly.
+    ref = rbt.resolve_raw(fields, src_b, W, W)
+    parts = sum(rbt.resolve_raw(fields, src2, W, W, tracer=1, group=g,
+                                n_groups=4) for g in range(4))
+    np.testing.assert_allclose(np.asarray(parts), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pair_trace_blocks_are_independent_unbiased(setup):
+    """rbt_trace_frame(n_tracers=2) with a 2n total budget produces two
+    tracer blocks each distributed like a separate n-photon tracer: both
+    blocks' resolved images agree with a single-tracer render within MC
+    tolerance, and the blocks differ from each other (independent RNG)."""
+    scene, gb, brdf, fields = setup
+    n = 8192
+    frames = 4
+    src2 = rbt.zero_sources(fields, n_tracers=2)
+    for f in range(frames):
+        src2, n_emitted = rbt.rbt_trace_frame(
+            fields, src2, gb, scene.lights, scene.field_textures, brdf,
+            jax.random.fold_in(jax.random.key(11), f), 2 * n, jnp.int32(2),
+            max_bounces=2, mc_direct=True, analytic_direct=False,
+            light_kinds=(1,), hist_direct=True, n_tracers=2)
+    assert int(n_emitted) == 2 * n  # capacity-aligned at D=64
+    raw_a = np.asarray(rbt.resolve_raw(fields, src2, W, W, tracer=0)) / frames
+    raw_b = np.asarray(rbt.resolve_raw(fields, src2, W, W, tracer=1)) / frames
+
+    single = _rbt_raw(scene, gb, brdf, fields, jax.random.key(12),
+                      n=n, frames=frames, bounces=2)
+    # Energy bookkeeping: per-tracer totals match the single tracer's.
+    for raw_t in (raw_a, raw_b):
+        np.testing.assert_allclose(raw_t.sum(), single.sum(), rtol=0.05)
+    # Independence: the two blocks are distinct MC draws.
+    assert np.abs(raw_a - raw_b).max() > 0
+    # Distribution: bright-region means agree within MC noise.
+    mask = single > np.percentile(single, 90)
+    np.testing.assert_allclose(raw_a[mask].mean(), single[mask].mean(),
+                               rtol=0.1)
+    np.testing.assert_allclose(raw_b[mask].mean(), single[mask].mean(),
+                               rtol=0.1)
+
+
+def test_pair_trace_analytic_and_generic_paths(setup):
+    """n_tracers=2 with analytic direct + generic MC scatter deposits: each
+    tracer block carries the identical analytic field plus its own MC
+    bounce noise; per-block totals match a single-tracer reference."""
+    scene, gb, brdf, fields = setup
+    n = 4096
+    src2 = rbt.zero_sources(fields, n_tracers=2)
+    src2, _ = rbt.rbt_trace_frame(
+        fields, src2, gb, scene.lights, scene.field_textures, brdf,
+        jax.random.key(5), 2 * n, jnp.int32(2), max_bounces=2,
+        mc_direct=True, analytic_direct=True, n_tracers=2)
+    src1 = rbt.zero_sources(fields)
+    src1, _ = rbt.rbt_trace_frame(
+        fields, src1, gb, scene.lights, scene.field_textures, brdf,
+        jax.random.key(6), n, jnp.int32(2), max_bounces=2,
+        mc_direct=True, analytic_direct=True)
+    e_a = sum(float(ch[:fields.n_bins].sum()) for ch in src2)
+    e_b = sum(float(ch[fields.n_bins:].sum()) for ch in src2)
+    e_1 = sum(float(ch.sum()) for ch in src1)
+    np.testing.assert_allclose(e_a, e_1, rtol=0.08)
+    np.testing.assert_allclose(e_b, e_1, rtol=0.08)
