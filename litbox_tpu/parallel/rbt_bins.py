@@ -39,11 +39,22 @@ sharded frame equals the unsharded rbt_trace_frame + resolve_raw on the
 same key to f32 scatter-order tolerance (tests/test_parallel.py), and the
 RNG cost (a few MB of uniforms) is trivial next to flight row math.
 
-Trade-off, stated plainly: ring flight runs the row-flight math on the
-full arriving record block every hop (masked), so bounce-wave compute does
-NOT scale with n — this mode buys MEMORY (resolution headroom), while
-'data'-axis sharding (rbt_sharded.py) buys throughput. The two compose:
-mesh ('ensemble', 'shard') here, with 'data' available for the dual use.
+Bounce-wave COMPUTE scaling (round 5, VERDICT r4 next #6): waves >= 1 and
+the deposit scatter use a bucketed ALL-TO-ALL exchange (_a2a_flight /
+_a2a_scatter) instead of the round-4 masked ring: each device sorts its
+records by owning device, pads per-destination buckets to
+W = slack * m / n, and ONE lax.all_to_all delivers every record to the
+device that owns its bin — which flies/deposits them all locally and (for
+flight) routes results home with the inverse exchange. Per-device flight
+math is slack * m lanes with m = (D/n) * cap, i.e. proportional to 1/n of
+the global record count (the ring ran the FULL block's math on every one
+of its n hops — n x the work). Buckets are statically sized, so records
+beyond W per destination are dropped-and-counted (returned as an overflow
+count; tests assert 0): with near-uniform post-scatter directions the
+bucket counts are Binomial(m, 1/n) and slack=4 puts overflow at
+astronomically small probability — but it is COUNTED, not assumed away.
+The round-4 ring versions remain as the exact-fallback/ablation path
+(use_ring=True).
 
 Scope: the production realtime scene class — point lights with
 mc_direct histogram direct + stratified bounce chains (what bench.py and
@@ -286,6 +297,183 @@ def _ring_flight(fields: BinShardedFields, cum_local, pos, direction, live,
     return p_hit, t_esc, found
 
 
+def _a2a_capacity(m: int, n: int, slack: float = 4.0) -> int:
+    """Static per-destination bucket capacity W for m records over n
+    devices: slack * m / n rounded up to a multiple of 8 and capped at m
+    (one sender cannot contribute more than its m records, so W = m is
+    always exact). Per-device exchanged/flown lanes are n * W ~= slack * m
+    — with m itself proportional to D/n, per-device flight math scales as
+    1/n of the global record count (the scaling contract tests assert).
+
+    slack sizing: post-scatter directions in participating media are
+    near-uniform, so bucket counts are ~Binomial(m, 1/n) and slack=4 makes
+    overflow astronomically unlikely. MIRROR-dominated scenes correlate
+    scattered directions (a device's whole block can reflect into one
+    bucket) — raise slack toward n (W -> m, ring-equivalent lane count,
+    exact) when the overflow counter says so."""
+    return max(8, min(int(-(-slack * m // (8 * n)) * 8),
+                      int(-(-m // 8) * 8)))
+
+
+def _bucket_by_owner(owner: jax.Array, n: int, w: int,
+                     active: jax.Array):
+    """Stable bucketing of the ACTIVE records by destination device.
+
+    Record j goes to payload slot owner[j] * w + rank_within_bucket[j]
+    when keep[j] (active and rank < w), else it overflows (slot = the
+    n*w sentinel; payloads are built size n*w+1 and sliced). Inactive
+    records (dead photons, zero-value deposits) are excluded from ranking
+    so they never consume bucket capacity — with the stratified bin-major
+    photon layout a device's dead records all share its own bins, which
+    overflowed its self-bucket when they were ranked (r5 test finding)."""
+    m = owner.shape[0]
+    key = jnp.where(active, owner, n).astype(jnp.int32)
+    order = jnp.argsort(key, stable=True)
+    sorted_key = key[order]
+    starts = jnp.searchsorted(sorted_key, jnp.arange(n, dtype=jnp.int32))
+    rank_sorted = jnp.arange(m, dtype=jnp.int32) - starts[sorted_key]
+    rank = jnp.zeros(m, jnp.int32).at[order].set(rank_sorted)
+    keep = active & (rank < w)
+    slot = jnp.where(keep, owner * w + rank, n * w)
+    return slot, keep
+
+
+def _a2a_flight(fields: BinShardedFields, cum_local, pos, direction, live,
+                u_tp, axis: str, slack: float = 4.0):
+    """Free flight with arbitrary directions via ONE all-to-all exchange.
+
+    Replaces _ring_flight's n masked full-block hops: records route to the
+    device owning their bin, fly there in one local batch (slack * m lanes,
+    m = (D/n)*cap — so per-device flight math scales as 1/n of the global
+    record count), and results route home with the inverse exchange.
+    Returns (p_hit, t_esc, found, n_overflow); overflow records (bucket
+    fuller than the static capacity) do not fly this wave and are counted —
+    callers/tests check the count is 0.
+    """
+    d_bins, s = fields.n_bins, fields.size
+    n = jax.lax.axis_size(axis)
+    d_local = cum_local.shape[0]
+    bin_lo = jax.lax.axis_index(axis) * d_local
+    bin_width = 2 * jnp.pi / d_bins
+
+    theta = jnp.arctan2(direction[:, 1], direction[:, 0])
+    b = jnp.round(theta / bin_width - fields.phase).astype(jnp.int32) % d_bins
+    ang = (b.astype(jnp.float32) + fields.phase) * bin_width
+    cb, sb = jnp.cos(ang), jnp.sin(ang)
+    xr, yr = _rotated_coords(fields, pos, cb, sb)
+    iy = jnp.clip(jnp.floor(yr).astype(jnp.int32), 0, s - 1)
+
+    m = pos.shape[0]
+    w = _a2a_capacity(m, n, slack)
+    owner = b // d_local
+    my = jax.lax.axis_index(axis)
+
+    # HOME-LOCAL FAST PATH: scattering phase functions are forward-peaked
+    # (Mie), so most bounced photons stay within their own bin block and
+    # their rows are already local — fly them directly, no exchange. Only
+    # FOREIGN records (owner != self) ride the all-to-all; capacity then
+    # needs to cover the forward-scatter LEAKAGE between blocks, not the
+    # dominant self-bucket (which overflowed W when it was exchanged —
+    # r5 debug finding: 57 of 64 live records were self-owned).
+    lb = (b - owner * d_local).astype(jnp.int32)
+    self_live = live & (owner == my)
+    rows_self = cum_local.reshape(d_local * s, s)[
+        jnp.clip(lb, 0, d_local - 1) * s + iy]
+    hx_self, te_self, fd_self = _row_flight_math(rows_self, xr, u_tp,
+                                                 self_live, s)
+
+    foreign = live & (owner != my)
+    slot, keep = _bucket_by_owner(owner, n, w, foreign)
+    sent = keep
+    n_overflow = jax.lax.psum(jnp.sum(foreign & ~keep), axis)
+
+    def pack(x, fill=0):
+        buf = jnp.full((n * w + 1,) + x.shape[1:], fill, x.dtype)
+        return buf.at[slot].set(jnp.where(
+            sent.reshape((-1,) + (1,) * (x.ndim - 1)), x,
+            jnp.asarray(fill, x.dtype)))[:n * w]
+
+    # Payload: receiver-local row (lb, iy), column xr, distance draw u.
+    p_lb = pack(lb)
+    p_iy = pack(iy)
+    p_xr = pack(xr)
+    p_u = pack(u_tp)
+    p_live = pack(sent.astype(jnp.float32))
+
+    a2a = lambda x: jax.lax.all_to_all(
+        x.reshape((n, w) + x.shape[1:]), axis, split_axis=0, concat_axis=0
+    ).reshape((n * w,) + x.shape[1:])
+    r_lb, r_iy, r_xr, r_u, r_live = map(a2a, (p_lb, p_iy, p_xr, p_u, p_live))
+
+    rows = cum_local.reshape(d_local * s, s)[
+        jnp.clip(r_lb, 0, d_local - 1) * s + r_iy]
+    hit_x, t_esc, found = _row_flight_math(rows, r_xr, r_u, r_live > 0.5, s)
+
+    back = lambda x: jax.lax.all_to_all(
+        x.reshape((n, w) + x.shape[1:]), axis, split_axis=0, concat_axis=0
+    ).reshape((n * w,) + x.shape[1:])
+    h_hx, h_te, h_fd = map(back, (hit_x, t_esc,
+                                  found.astype(jnp.float32)))
+
+    take = lambda buf, fill: jnp.where(
+        sent, jnp.concatenate([buf, jnp.asarray([fill], buf.dtype)])[
+            jnp.where(sent, slot, n * w)], jnp.asarray(fill, buf.dtype))
+    hit_x = jnp.where(self_live, hx_self, take(h_hx, 0.0))
+    t_esc = jnp.where(self_live, te_self, take(h_te, 0.0))
+    found = jnp.where(self_live, fd_self, take(h_fd, 0.0) > 0.5)
+
+    hx = hit_x - s / 2.0
+    hy = yr - s / 2.0
+    p_hit = jnp.stack([cb * hx - sb * hy, sb * hx + cb * hy], -1) + fields.center
+    return p_hit, t_esc, found, n_overflow
+
+
+def _a2a_scatter(src_local, flat_global, vals, d_local: int, s: int,
+                 axis: str, slack: float = 4.0):
+    """Deposit global-bin records via ONE all-to-all: records route to the
+    device owning their cell, which applies a single local scatter-add.
+    Per-device scatter stream is slack * m instead of the ring's n full
+    streams. Returns (src_local, n_overflow) — overflow records are
+    dropped-and-counted (tests assert 0)."""
+    n = jax.lax.axis_size(axis)
+    span = d_local * s * s
+    m = flat_global.shape[0]
+    w = _a2a_capacity(m, n, slack)
+    owner = jnp.clip(flat_global // span, 0, n - 1)
+    live = jnp.any(vals != 0.0, axis=-1)
+    my = jax.lax.axis_index(axis)
+    # Home-local deposits (the forward-peaked majority) skip the exchange.
+    self_live = live & (owner == my)
+    idx_self = jnp.where(self_live, flat_global - my * span, 0)
+    val_self = jnp.where(self_live[:, None], vals, 0.0)
+
+    foreign = live & (owner != my)
+    slot, keep = _bucket_by_owner(owner, n, w, foreign)
+    sent = keep
+    n_overflow = jax.lax.psum(jnp.sum(foreign & ~keep), axis)
+
+    def pack(x, fill=0):
+        buf = jnp.full((n * w + 1,) + x.shape[1:], fill, x.dtype)
+        return buf.at[slot].set(jnp.where(
+            sent.reshape((-1,) + (1,) * (x.ndim - 1)), x,
+            jnp.asarray(fill, x.dtype)))[:n * w]
+
+    p_idx = pack((flat_global - owner * span).astype(jnp.int32))
+    p_val = pack(vals)
+
+    a2a = lambda x: jax.lax.all_to_all(
+        x.reshape((n, w) + x.shape[1:]), axis, split_axis=0, concat_axis=0
+    ).reshape((n * w,) + x.shape[1:])
+    r_idx, r_val = a2a(p_idx), a2a(p_val)
+
+    out = []
+    for c in range(3):
+        ch = src_local[c]
+        flatc = ch.reshape(-1).at[idx_self].add(val_self[:, c])
+        out.append(flatc.at[r_idx].add(r_val[:, c]).reshape(ch.shape))
+    return tuple(out), n_overflow
+
+
 def _ring_scatter(src_local, flat_global, vals, d_local: int, s: int,
                   axis: str):
     """Scatter global-bin deposit records into bin-sharded sources.
@@ -314,18 +502,26 @@ def _ring_scatter(src_local, flat_global, vals, d_local: int, s: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "mesh", "n_photons", "max_bounces", "bounce_photons", "enable_brdf"),
+    "mesh", "n_photons", "max_bounces", "bounce_photons", "enable_brdf",
+    "use_ring", "a2a_slack"),
     donate_argnames=("src",))
 def bins_trace_frame(mesh, fields: BinShardedFields, src, gbuffer: GBuffer,
                      lights, brdf_lut, key, n_photons: int, override_bounces,
                      max_bounces: int = 4, bounce_photons: int = 0,
-                     enable_brdf: bool = True):
+                     enable_brdf: bool = True, use_ring: bool = False,
+                     a2a_slack: float = 4.0):
     """Trace one frame into bin-sharded sources (all-point-light scenes:
     the hist_direct + stratified-bounce production path of
     sim.rbt.rbt_trace_frame, re-partitioned over the 'shard' mesh axis).
 
-    Returns (src, photons_emitted). Mirrors rbt_trace_frame's RNG sequence
-    (same key -> same photon population as the unsharded tracer)."""
+    Returns (src, photons_emitted, overflow): overflow is the global count
+    of bounce records that exceeded the all-to-all bucket capacity this
+    frame (0 in any sane configuration — see module docstring; always 0
+    with use_ring=True, the round-4 exact ring ablation whose per-hop
+    flight math does not scale with n).
+
+    Mirrors rbt_trace_frame's RNG sequence (same key -> same photon
+    population as the unsharded tracer)."""
     e = mesh.shape["ensemble"]
     n = mesh.shape["shard"]
     d_bins, s = fields.n_bins, fields.size
@@ -340,6 +536,7 @@ def bins_trace_frame(mesh, fields: BinShardedFields, src, gbuffer: GBuffer,
         src_local = tuple(src_blk[0, 0, c] for c in range(3))
         bin_lo = jax.lax.axis_index("shard") * d_local
         k_direct, k_bounce = jax.random.split(key_d)
+        overflow = jnp.int32(0)
 
         # --- DIRECT: stratified histogram, local bins only ---
         flat_dir, vals_dir, n_emitted = _hist_direct_local(
@@ -390,9 +587,15 @@ def bins_trace_frame(mesh, fields: BinShardedFields, src, gbuffer: GBuffer,
                 else:
                     u_tp = jax.lax.dynamic_slice_in_dim(
                         jax.random.uniform(k_tp, (m_full,)), row0, m)
-                    p_hit, t_esc, found = _ring_flight(
-                        fields, cum_local, pos, direction, live, u_tp,
-                        "shard")
+                    if use_ring:
+                        p_hit, t_esc, found = _ring_flight(
+                            fields, cum_local, pos, direction, live, u_tp,
+                            "shard")
+                    else:
+                        p_hit, t_esc, found, ovf = _a2a_flight(
+                            fields, cum_local, pos, direction, live, u_tp,
+                            "shard", slack=a2a_slack)
+                        overflow = overflow + ovf
                 dead = dead | (live & ~found)
 
                 if jax.default_backend() == "tpu":
@@ -436,19 +639,28 @@ def bins_trace_frame(mesh, fields: BinShardedFields, src, gbuffer: GBuffer,
                 all_vals.append(jnp.where(live_next[:, None], energy, 0.0))
 
         if all_flat:
-            src_local = _ring_scatter(
-                src_local, jnp.concatenate(all_flat),
-                jnp.concatenate(all_vals), d_local, s, "shard")
+            if use_ring:
+                src_local = _ring_scatter(
+                    src_local, jnp.concatenate(all_flat),
+                    jnp.concatenate(all_vals), d_local, s, "shard")
+            else:
+                src_local, ovf = _a2a_scatter(
+                    src_local, jnp.concatenate(all_flat),
+                    jnp.concatenate(all_vals), d_local, s, "shard",
+                    slack=a2a_slack)
+                overflow = overflow + ovf
         total = jnp.int32(n_emitted)
-        return jnp.stack(src_local)[None, None], total[None, None]
+        return (jnp.stack(src_local)[None, None], total[None, None],
+                overflow[None, None])
 
-    src, n_out = jax.shard_map(
+    src, n_out, ovf = jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(P("ensemble"), P("ensemble", "shard"), P("shard")),
-        out_specs=(P("ensemble", "shard"), P("ensemble", "shard")),
+        out_specs=(P("ensemble", "shard"), P("ensemble", "shard"),
+                   P("ensemble", "shard")),
         check_vma=False,
     )(keys, src, fields.cum_log)
-    return src, n_out[:, 0]
+    return src, n_out[:, 0], ovf[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "height", "width"))

@@ -796,6 +796,42 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
     scene content (tracers.py), like the reference's per-light kernel
     selection (ForwardMonteCarlo.cs:203-265).
     """
+    flat, vals, n_emitted = rbt_frame_deposits(
+        fields, gbuffer, lights, field_textures, brdf_lut, key, n_photons,
+        override_bounces, max_bounces=max_bounces,
+        analytic_direct=analytic_direct, bounce_photons=bounce_photons,
+        mc_direct=mc_direct, enable_brdf=enable_brdf,
+        light_kinds=light_kinds, hist_direct=hist_direct,
+        exact_collimated=exact_collimated, n_tracers=n_tracers)
+    if flat is not None:
+        src_accum = _inject_flat(src_accum, flat, vals)
+    return src_accum, n_emitted
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_photons", "max_bounces", "analytic_direct", "bounce_photons",
+    "mc_direct", "enable_brdf", "light_kinds", "hist_direct",
+    "exact_collimated", "n_tracers"))
+def rbt_frame_deposits(fields: RotatedFields, gbuffer: GBuffer,
+                       lights, field_textures, brdf_lut, key,
+                       n_photons: int, override_bounces, max_bounces: int = 4,
+                       analytic_direct: bool = True, bounce_photons: int = 0,
+                       mc_direct: bool = True, enable_brdf: bool = True,
+                       light_kinds: tuple | None = None,
+                       hist_direct: bool = False,
+                       exact_collimated: bool = False,
+                       n_tracers: int = 1):
+    """One frame's photon work WITHOUT the scatter: returns the deposit
+    stream (flat_idx, values, photons_emitted), flat_idx indexing the
+    flattened (n_tracers*D*S*S) source planes.
+
+    The scatter into the big source buffer is full-target bound (~3-5 ms
+    at the 1080p shape regardless of update count: XLA materializes a copy
+    of the operand), so a frame loop that wants to amortize it can stage
+    several frames' streams in a small pending buffer and flush them in
+    ONE scatter every K frames (runs/bench_1080p.py --pair fast path);
+    rbt_trace_frame is the scatter-per-frame composition of this.
+    """
     height, width = gbuffer.transmissibility.shape
     k_direct, k_bounce = jax.random.split(key)
     n_emitted = n_photons
@@ -840,10 +876,10 @@ def rbt_trace_frame(fields: RotatedFields, src_accum: jax.Array, gbuffer: GBuffe
         all_flat.append(f)
         all_vals.append(v)
 
-    if all_flat:
-        src_accum = _inject_flat(src_accum, jnp.concatenate(all_flat),
-                                 jnp.concatenate(all_vals))
-    return src_accum, jnp.int32(n_emitted)
+    if not all_flat:
+        return None, None, jnp.int32(n_emitted)
+    return (jnp.concatenate(all_flat), jnp.concatenate(all_vals),
+            jnp.int32(n_emitted))
 
 
 @jax.jit

@@ -333,6 +333,97 @@ def main():
                                UchimuraShape())[0, 0, 0]
         return src2, cache, pix + 0.0 * k
 
+    # ---- FAST production pair frame (round 5, --pair-fast) ----
+    # Three measured levers stacked on the native tracer axis:
+    #   1. DEFERRED SCATTER: the per-frame scatter into the (2D, S, S)
+    #      sources is full-target-copy bound (~5.2 ms; /tmp/prof_scatter_r5:
+    #      cost tracks target bytes, not update count). Frames stage their
+    #      deposit streams (rbt_frame_deposits) in a small (K, M) pending
+    #      buffer (in-place dynamic_update_slice) and ONE scatter flushes K
+    #      frames' worth every K-th frame — amortized ~2.4 ms. The display
+    #      lags the newest <K frames of photons, the same bounded-staleness
+    #      trade the grouped resolve already makes.
+    #   2. Alternating per-tracer grouped resolve (as --pair).
+    #   3. SINGLE-PASS DISPLAY with k ON A CADENCE: every CAL-th frame runs
+    #      the batched pair UNet, displays the EXACT pair composition, and
+    #      refreshes k; other frames run ONE UNet pass on the pair mean and
+    #      display x + k*(net(x)-x). Measured quality-equivalent on every
+    #      held-out tier (+1.18 vs +1.21 RT0; /tmp/eval_meanpass r5 log,
+    #      table in NOTES_ROUND5.md).
+    FLUSH_K = arg("--flush", 8)
+    CAL = arg("--cal", 8)
+
+    def frame_deposits(fields, gb, lights, ftex, brdf, key):
+        return rbt.rbt_frame_deposits(
+            fields, gb, lights, ftex, brdf, key,
+            PHOTONS, jnp.int32(-1), max_bounces=2,
+            bounce_photons=BOUNCE_PHOTONS, mc_direct=True,
+            analytic_direct=False, enable_brdf=False, light_kinds=(1,),
+            hist_direct=True, n_tracers=2)
+
+    @functools.partial(jax.jit, donate_argnames=(
+        "src2", "cache", "pend_flat", "pend_vals"))
+    def frame_step_pair_fast(fields, src2, cache, pend_flat, pend_vals,
+                             k_prev, gb, lights, ftex, brdf, key, r,
+                             model_vars):
+        from litbox_tpu.nn.infer import blend_pair_symmetric
+
+        flat, vals, _ = frame_deposits(fields, gb, lights, ftex, brdf, key)
+        slot = r % FLUSH_K
+        pend_flat = jax.lax.dynamic_update_index_in_dim(pend_flat, flat,
+                                                        slot, 0)
+        pend_vals = jax.lax.dynamic_update_index_in_dim(pend_vals, vals,
+                                                        slot, 0)
+        src2 = jax.lax.cond(
+            slot == FLUSH_K - 1,
+            lambda s: rbt._inject_flat(s, pend_flat.reshape(-1),
+                                       pend_vals.reshape(-1, 3)),
+            lambda s: s, src2)
+        cache, raw_a, raw_b = resolve_group_pair(fields, src2, cache, r)
+        iters = (r + 1).astype(jnp.float32)
+
+        def calib(_):
+            hdr_a = to_hdr(raw_a, iters, gb, finalize_outscatter=True)
+            hdr_b = to_hdr(raw_b, iters, gb, finalize_outscatter=True)
+            out_a, out_b = denoise_pair(hdr_a, hdr_b, model_vars)
+            disp, k = blend_pair_symmetric(out_a, out_b, hdr_a, hdr_b)
+            return disp, k
+
+        def fast(_):
+            hdr_x = to_hdr((raw_a + raw_b) * 0.5, iters, gb,
+                           finalize_outscatter=True)
+            out_x = denoise(hdr_x, model_vars)
+            return hdr_x + k_prev * (out_x - hdr_x), k_prev
+
+        disp, k = jax.lax.cond(r % CAL == 0, calib, fast, 0)
+        pix = tonemap_uchimura(upsample(disp) * 0.5,
+                               UchimuraShape())[0, 0, 0]
+        return src2, cache, pend_flat, pend_vals, k, pix
+
+    def pipelined_frames_pair_fast(n_frames: int) -> float:
+        src2 = rbt.zero_sources(fields, n_tracers=2)
+        cache = jnp.zeros((2, GROUPS, SIM_H, SIM_W, 3))
+        key = jax.random.key(7)
+        flat0, vals0, _ = jax.jit(frame_deposits)(fields, gb, lights, ftex,
+                                                  brdf, key)
+        m = flat0.shape[0]
+        pend_flat = jnp.zeros((FLUSH_K, m), flat0.dtype)
+        # Unwritten slots must be harmless: index 0 with value 0.
+        pend_vals = jnp.zeros((FLUSH_K, m, 3))
+        k = jnp.float32(0.5)
+        src2, cache, pend_flat, pend_vals, k, pix = frame_step_pair_fast(
+            fields, src2, cache, pend_flat, pend_vals, k, gb, lights, ftex,
+            brdf, key, jnp.int32(0), variables)
+        float(pix)
+        t0 = time.perf_counter()
+        for r in range(1, n_frames + 1):
+            src2, cache, pend_flat, pend_vals, k, pix = frame_step_pair_fast(
+                fields, src2, cache, pend_flat, pend_vals, k, gb, lights,
+                ftex, brdf, jax.random.fold_in(key, r), jnp.int32(r),
+                variables)
+        float(pix)
+        return (time.perf_counter() - t0 - rtt) / n_frames
+
     def pipelined_frames_pair_native(n_frames: int) -> float:
         src2 = rbt.zero_sources(fields, n_tracers=2)
         cache = jnp.zeros((2, GROUPS, SIM_H, SIM_W, 3))
@@ -535,6 +626,13 @@ def main():
         raw_b1 = rbt.resolve_raw(fields, src21, SIM_H, SIM_W, tracer=1)
         time_fn2("pair display", display_pair_once, raw_a1, raw_b1, gb,
                  variables, per_frame=1)
+        return
+    if "--pair-fast" in sys.argv:
+        t_pf = min(pipelined_frames_pair_fast(32) for _ in range(2))
+        print(f"PAIR-FAST PIPELINE (deferred scatter K={FLUSH_K}, "
+              f"single-pass display, k-cadence {CAL}): "
+              f"{t_pf*1000:7.2f} ms/frame = {1.0/t_pf:.1f} FPS (target 60)",
+              flush=True)
         return
     if "--pair-seq" in sys.argv:
         t_pair = min(pipelined_frames_pair(30) for _ in range(2))

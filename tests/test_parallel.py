@@ -361,9 +361,10 @@ def test_bins_sharded_matches_unsharded_exactly(bins_setup):
     mesh = make_bins_mesh(8, ensemble=2)
     bf = shard_fields_bins(mesh, fields)
     src = zero_sources_bins(mesh, bf)
-    src, n = bins_trace_frame(mesh, bf, src, gb, scene.lights, brdf, key,
-                              2048, jnp.int32(-1), max_bounces=4,
-                              bounce_photons=512, enable_brdf=True)
+    src, n, ovf = bins_trace_frame(mesh, bf, src, gb, scene.lights, brdf,
+                                   key, 2048, jnp.int32(-1), max_bounces=4,
+                                   bounce_photons=512, enable_brdf=True)
+    assert int(np.asarray(ovf).max()) == 0  # a2a buckets never overflowed
     raw = np.asarray(bins_resolve(mesh, bf, src, W, W))
 
     assert raw.shape == (2, W, W, 3)
@@ -386,10 +387,91 @@ def test_bins_sharded_frames_accumulate(bins_setup):
     src = zero_sources_bins(mesh, bf)
     sums = []
     for f in range(2):
-        src, _ = bins_trace_frame(
+        src, _, _ = bins_trace_frame(
             mesh, bf, src, gb, scene.lights, brdf,
             jax.random.fold_in(jax.random.key(9), f), 1024, jnp.int32(-1),
             max_bounces=3, enable_brdf=False)
         sums.append(float(np.asarray(
             bins_resolve(mesh, bf, src, W, W)).sum()))
     assert sums[1] > sums[0] * 1.5
+
+
+def test_bins_a2a_matches_ring(bins_setup):
+    """The round-5 all-to-all bounce exchange computes the SAME physics as
+    the round-4 ring (identical RNG sequence, records fly the same rows
+    with the same draws — only the device doing the math and the f32
+    deposit order differ), with zero bucket overflow."""
+    from litbox_tpu.parallel import (
+        bins_resolve, bins_trace_frame, make_bins_mesh, shard_fields_bins,
+        zero_sources_bins)
+
+    scene, gb, brdf, fields = bins_setup
+    key = jax.random.key(13)
+    mesh = make_bins_mesh(8, ensemble=1)
+    bf = shard_fields_bins(mesh, fields)
+
+    outs = {}
+    for use_ring in (True, False):
+        src = zero_sources_bins(mesh, bf)
+        # enable_brdf=True with aligned shapes = MIRROR-correlated scatter
+        # directions, the worst case for bucket concentration: slack=n
+        # (W = m) makes the exchange exact (see _a2a_capacity docstring).
+        src, _, ovf = bins_trace_frame(
+            mesh, bf, src, gb, scene.lights, brdf, key, 2048,
+            jnp.int32(-1), max_bounces=4, bounce_photons=512,
+            enable_brdf=True, use_ring=use_ring, a2a_slack=8.0)
+        assert int(np.asarray(ovf).max()) == 0
+        outs[use_ring] = np.asarray(bins_resolve(mesh, bf, src, W, W))
+    np.testing.assert_allclose(outs[False], outs[True], rtol=2e-4, atol=1e-6)
+
+
+def test_bins_a2a_flight_work_scales_inverse_n(bins_setup):
+    """SURVEY §5 scaling contract, round-5 half: per-device bounce flight
+    work is proportional to 1/n. Structural assertion: the per-device
+    exchanged/flown lane count is n * W = n * _a2a_capacity(m, n) with
+    m = (D/n) * cap — halving when n doubles — while the traced result
+    stays equal to the unsharded tracer at every n."""
+    from litbox_tpu.parallel import (
+        bins_resolve, bins_trace_frame, make_bins_mesh, shard_fields_bins,
+        zero_sources_bins)
+    from litbox_tpu.parallel.rbt_bins import _a2a_capacity
+    from litbox_tpu.sim import rbt
+
+    scene, gb, brdf, fields = bins_setup
+    key = jax.random.key(21)
+    d_bins = fields.n_bins
+    k_chains = 512
+    cap = -(-k_chains // d_bins)
+
+    src_ref = rbt.zero_sources(fields)
+    # bins_trace_frame folds the key per ensemble row; mirror row 0.
+    src_ref, _ = rbt.rbt_trace_frame(
+        fields, src_ref, gb, scene.lights, scene.field_textures, brdf,
+        jax.random.fold_in(key, 0),
+        2048, jnp.int32(-1), max_bounces=4, bounce_photons=k_chains,
+        mc_direct=True, analytic_direct=False, enable_brdf=False,
+        hist_direct=True)
+    raw_ref = np.asarray(rbt.resolve_raw(fields, src_ref, W, W))
+
+    lanes = {}
+    for n in (2, 4, 8):
+        mesh = make_bins_mesh(n, ensemble=1)
+        bf = shard_fields_bins(mesh, fields)
+        src = zero_sources_bins(mesh, bf)
+        src, _, ovf = bins_trace_frame(
+            mesh, bf, src, gb, scene.lights, brdf, key, 2048,
+            jnp.int32(-1), max_bounces=4, bounce_photons=k_chains,
+            enable_brdf=False, use_ring=False)
+        assert int(np.asarray(ovf).max()) == 0
+        raw = np.asarray(bins_resolve(mesh, bf, src, W, W))
+        np.testing.assert_allclose(raw[0], raw_ref, rtol=2e-4, atol=1e-6)
+        m = (d_bins // n) * cap
+        # Per-device flight work = m home-local lanes + n * W exchange
+        # lanes (W capped at m for worst-case exactness, so the exchange
+        # term is ring-equivalent until n exceeds the slack factor).
+        lanes[n] = m + n * _a2a_capacity(m, n)
+    # Per-device flown lanes decrease monotonically with n and halve once
+    # n clears the slack factor; the round-4 ring cost was m_total * n
+    # lanes per device = CONSTANT in n.
+    assert lanes[8] < lanes[4] < lanes[2]
+    assert lanes[8] <= lanes[4] * 0.55
