@@ -66,7 +66,10 @@ class Simulation:
     convergence_threshold: float = -1.0
     measurement_interval: int = 100
     seed: int = 0
-    engine: str = "rbt"  # 'rbt' (production) or 'oracle' (reference semantics)
+    # 'rbt' (production), 'oracle' (reference semantics), or 'rbt-paired'
+    # (round 5: both variance tracers in ONE combined RBT trace per frame —
+    # the native tracer axis; LIGHT_TRANSPORT only).
+    engine: str = "rbt"
     # Hybrid-strategy forward->backward refresh cadence: 1 = reference
     # cadence (HybridTracer.cs:17, backward re-reads the forward HDR every
     # frame); REALTIME mode opts into 4 to amortize the RBT resolve unless
@@ -189,17 +192,32 @@ class Simulation:
 
     def _validate_tracers(self):
         if self._strategy_built != (self.strategy, self.engine):
-            if self.strategy == Strategy.LIGHT_TRANSPORT:
-                make = lambda: LightTransportTracer(engine=self.engine)
+            if self.engine == "rbt-paired":
+                # Native tracer axis (round 5): both tracers in ONE
+                # combined RBT trace per frame (sim.tracers.PairedTracerView
+                # — view 0 drives the shared work, outputs are per-tracer).
+                if self.strategy != Strategy.LIGHT_TRANSPORT:
+                    raise ValueError(
+                        "engine='rbt-paired' supports the LIGHT_TRANSPORT "
+                        "strategy only (Hybrid keeps per-tracer backward "
+                        "accumulators; use engine='rbt')")
+                from ..sim.tracers import make_paired_light_transport
+
+                self._tracers = make_paired_light_transport()
+                self._strategy_built = (self.strategy, self.engine)
+                self._dirty = True
             else:
-                refresh = self.forward_refresh_interval
-                if refresh is None:
-                    refresh = 4 if self.mode == Mode.REALTIME else 1
-                make = lambda: HybridTracer(engine=self.engine,
-                                            forward_refresh_interval=refresh)
-            self._tracers = [make(), make()]
-            self._strategy_built = (self.strategy, self.engine)
-            self._dirty = True
+                if self.strategy == Strategy.LIGHT_TRANSPORT:
+                    make = lambda: LightTransportTracer(engine=self.engine)
+                else:
+                    refresh = self.forward_refresh_interval
+                    if refresh is None:
+                        refresh = 4 if self.mode == Mode.REALTIME else 1
+                    make = lambda: HybridTracer(engine=self.engine,
+                                                forward_refresh_interval=refresh)
+                self._tracers = [make(), make()]
+                self._strategy_built = (self.strategy, self.engine)
+                self._dirty = True
         for t in self._tracers:
             t.forward.integration_interval = self.integration_interval
             t.forward.rays_to_emit = self.rays_per_frame

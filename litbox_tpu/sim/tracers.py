@@ -122,8 +122,19 @@ class RBTForwardIntegrator(ForwardIntegrator):
     deposit map and is resolved (scan + rotate-back) lazily on output."""
 
     def __init__(self, finalize_outscatter: bool = True, bilinear_writes: bool = True,
-                 n_bins: int = 128):
+                 n_bins: int = 128, n_tracers: int = 1):
         self.n_bins = n_bins
+        # Native dual-tracer axis (round 5): n_tracers=2 traces BOTH
+        # tracers of the engine's variance pair in ONE combined batch into
+        # a tracer-major (2D, S, S) source buffer (rbt.rbt_trace_frame
+        # n_tracers) — the frame's fixed costs are paid once instead of
+        # per tracer (36.5 -> 17-18 ms at the 1080p profile). rays_to_emit
+        # stays the PER-TRACER budget; the paired trace emits
+        # n_tracers * rays_to_emit total. Per-tracer outputs resolve via
+        # output_hdr_for/display_hdr_for; the plain single-tracer
+        # properties read tracer 0. dom_bounce is not supported with
+        # n_tracers > 1 (the cascade would need per-tracer source blocks).
+        self.n_tracers = n_tracers
         self.bounce_rays = 0  # 0 = no Russian-roulette culling after wave 0
         # Analytic zero-variance direct lighting. Disable to reproduce the
         # reference's Monte-Carlo direct-light noise (e.g. for denoiser
@@ -153,7 +164,7 @@ class RBTForwardIntegrator(ForwardIntegrator):
         self._phase_src = {}
         self._fields = None
         self._src = None
-        self._resolved = None
+        self._resolved = {}
         self._gbuffer = None
         self._mc_direct = None
         self._enable_brdf = True
@@ -178,11 +189,12 @@ class RBTForwardIntegrator(ForwardIntegrator):
         # grouped composition; output_hdr (and through it convergence,
         # dataset writes, raw_accumulation) is always the exact full resolve.
         self._resolve_groups = 1
+        # Grouped-display state, keyed per tracer index (n_tracers views).
         self._group_rate = {}
-        self._group_sum = None
-        self._group_next = 0
-        self._group_frame = -1
-        self._group_display = None
+        self._group_sum = {}
+        self._group_next = {}
+        self._group_frame = {}
+        self._group_display = {}
         # Deterministic multi-bounce (sim/dom.py): per-frame tracing is
         # direct-only and bounce transport is the zero-variance cascade,
         # recomputed from the accumulated direct sources every dom_refresh
@@ -213,10 +225,10 @@ class RBTForwardIntegrator(ForwardIntegrator):
             self._resolve_groups = k
             # Cached partials are keyed to the old bin partition — drop them.
             self._group_rate = {}
-            self._group_sum = None
-            self._group_next = 0
-            self._group_frame = -1
-            self._group_display = None
+            self._group_sum = {}
+            self._group_next = {}
+            self._group_frame = {}
+            self._group_display = {}
 
     @property
     def gbuffer(self):
@@ -235,17 +247,17 @@ class RBTForwardIntegrator(ForwardIntegrator):
     def clear(self):
         super().clear()
         self._src = None
-        self._resolved = None
+        self._resolved = {}
         self._phase_src = {}
         self._mc_direct = None  # scene-derived static specializations
         self._exact_raw = None
         self._dom_raw_rate = None
         self._dom_it = -1
         self._group_rate = {}
-        self._group_sum = None
-        self._group_next = 0
-        self._group_frame = -1
-        self._group_display = None
+        self._group_sum = {}
+        self._group_next = {}
+        self._group_frame = {}
+        self._group_display = {}
 
     def _effective_jitter_phases(self, gb) -> int:
         """Phase-ladder length clamped to jitter_memory_budget bytes of
@@ -275,7 +287,7 @@ class RBTForwardIntegrator(ForwardIntegrator):
             self._fields = precompute_rotated_fields(gb, n_bins=self.n_bins)
             self._src = None
         if self._src is None:
-            self._src = zero_sources(self._fields)
+            self._src = zero_sources(self._fields, n_tracers=self.n_tracers)
         self.iterations_since_clear += 1
         override = -1 if self.override_bounce_count is None else int(self.override_bounce_count)
         if self._mc_direct is None or self._static_override != override:
@@ -329,9 +341,14 @@ class RBTForwardIntegrator(ForwardIntegrator):
             raise NotImplementedError(
                 "dom_bounce with the jitter-phase ladder needs a per-phase "
                 "cascade; disable one of the two")
+        if dom_on and self.n_tracers > 1:
+            raise NotImplementedError(
+                "dom_bounce needs per-tracer cascade sources; use the "
+                "single-tracer integrator for DOM scenes")
         self._src, n = rbt_trace_frame(
             self._fields, self._src, gb, scene.lights, scene.field_textures,
-            self._brdf, key, self.rays_to_emit, jnp.int32(override),
+            self._brdf, key, self.n_tracers * self.rays_to_emit,
+            jnp.int32(override),
             # DOM mode: per-frame tracing is DIRECT ONLY — bounce transport
             # is the deterministic cascade, refreshed on a cadence.
             max_bounces=1 if dom_on else self.max_bounces,
@@ -339,10 +356,11 @@ class RBTForwardIntegrator(ForwardIntegrator):
             mc_direct=self._mc_direct, enable_brdf=self._enable_brdf,
             light_kinds=self._light_kinds, analytic_direct=self.analytic_direct,
             hist_direct=self._hist_direct,
-            exact_collimated=self._exact_raw is not None)
+            exact_collimated=self._exact_raw is not None,
+            n_tracers=self.n_tracers)
         self._write_count = self._write_count + n  # device-side; no sync
         self._photon_count = self._photon_count + n  # RBT writes ARE photons
-        self._resolved = None
+        self._resolved = {}
         if self.jitter_bins:
             k = (self.iterations_since_clear - 1) % self._effective_jitter_phases(gb)
             self._phase_src[k] = self._src
@@ -387,26 +405,34 @@ class RBTForwardIntegrator(ForwardIntegrator):
     def raw_accumulation(self) -> jax.Array:
         """Raw pre-HDR accumulated deposits: lazy resolve (scan +
         rotate-back) of the per-bin sources plus the scene-static exact
-        collimated field (the ForwardAccumulation debug view)."""
+        collimated field (the ForwardAccumulation debug view).
+        With n_tracers > 1 this is tracer 0's view (raw_accumulation_for)."""
+        return self.raw_accumulation_for(0)
+
+    def raw_accumulation_for(self, tracer: int) -> jax.Array:
+        """Per-tracer raw accumulation (tracer-major source block
+        selection; free in the TPU resolve — rbt.resolve_raw tracer=)."""
         gb = self.gbuffer
         if self.jitter_bins:
             if not self._phase_src:
                 return jnp.zeros((gb.height, gb.width, 3))
-            if self._resolved is None:
+            if self._resolved.get(tracer) is None:
                 total = None
                 for k, src in self._phase_src.items():
                     raw = resolve_raw(self._phase_fields[k], src,
-                                      gb.height, gb.width, traced_phase=True)
+                                      gb.height, gb.width, traced_phase=True,
+                                      tracer=tracer)
                     total = raw if total is None else total + raw
-                self._resolved = total
-            return self._with_exact(self._resolved)
+                self._resolved[tracer] = total
+            return self._with_exact(self._resolved[tracer])
         if self._src is None:
             return jnp.zeros((gb.height, gb.width, 3))
-        if self._resolved is None:
-            self._resolved = resolve_raw(self._fields, self._src, gb.height, gb.width)
-        return self._with_exact(self._resolved)
+        if self._resolved.get(tracer) is None:
+            self._resolved[tracer] = resolve_raw(
+                self._fields, self._src, gb.height, gb.width, tracer=tracer)
+        return self._with_exact(self._resolved[tracer])
 
-    def _display_raw_rate(self) -> jax.Array:
+    def _display_raw_rate(self, tracer: int = 0) -> jax.Array:
         """Per-frame-rate raw deposits for the realtime display: refresh one
         (phase, group) combination's partial resolve, compose the cache.
 
@@ -414,7 +440,8 @@ class RBTForwardIntegrator(ForwardIntegrator):
         unbiased estimate of that angular group's per-frame deposit rate.
         During warm-up (cache not yet full) the sum is rescaled by
         expected/cached so brightness is right immediately and the angular
-        groups fill in over the first K*len(phases) frames."""
+        groups fill in over the first K*len(phases) frames. Grouped state
+        is independent per tracer view."""
         gb = self.gbuffer
         k_groups = self.resolve_groups
         iters = jnp.float32(max(1, self.iterations_since_clear))
@@ -424,8 +451,8 @@ class RBTForwardIntegrator(ForwardIntegrator):
             phases = [None]
         if not phases or (phases == [None] and self._src is None):
             return jnp.zeros((gb.height, gb.width, 3))
-        c = self._group_next
-        self._group_next += 1
+        c = self._group_next.get(tracer, 0)
+        self._group_next[tracer] = c + 1
         t = c % k_groups
         p = phases[(c // k_groups) % len(phases)]
         if p is None:
@@ -434,18 +461,20 @@ class RBTForwardIntegrator(ForwardIntegrator):
             fields, src, traced = self._phase_fields[p], self._phase_src[p], True
         rate = resolve_raw(fields, src, gb.height, gb.width,
                            traced_phase=traced, group=t,
-                           n_groups=k_groups) / iters
-        prev = self._group_rate.get((p, t))
-        if self._group_sum is None:
-            self._group_sum = rate
+                           n_groups=k_groups, tracer=tracer) / iters
+        prev = self._group_rate.get((tracer, p, t))
+        if self._group_sum.get(tracer) is None:
+            self._group_sum[tracer] = rate
         elif prev is None:
-            self._group_sum = self._group_sum + rate
+            self._group_sum[tracer] = self._group_sum[tracer] + rate
         else:
-            self._group_sum = self._group_sum + (rate - prev)
-        self._group_rate[(p, t)] = rate
+            self._group_sum[tracer] = self._group_sum[tracer] + (rate - prev)
+        self._group_rate[(tracer, p, t)] = rate
         expected = k_groups * len(phases)
-        scale = expected / len(self._group_rate)
-        total = self._group_sum * scale if scale != 1.0 else self._group_sum
+        n_cached = sum(1 for key_ in self._group_rate if key_[0] == tracer)
+        scale = expected / n_cached
+        total = (self._group_sum[tracer] * scale if scale != 1.0
+                 else self._group_sum[tracer])
         if self._exact_raw is not None:
             total = total + self._exact_raw
         dom = self._dom_rate()
@@ -458,7 +487,10 @@ class RBTForwardIntegrator(ForwardIntegrator):
         """EXACT HDR output (full resolve). Convergence measurement, dataset
         writes, and any quality-bearing consumer read this; the grouped
         approximation is display_hdr only."""
-        return to_hdr(self.raw_accumulation,
+        return self.output_hdr_for(0)
+
+    def output_hdr_for(self, tracer: int) -> jax.Array:
+        return to_hdr(self.raw_accumulation_for(tracer),
                       jnp.float32(self.iterations_since_clear),
                       self.gbuffer, self.finalize_outscatter)
 
@@ -467,15 +499,18 @@ class RBTForwardIntegrator(ForwardIntegrator):
         """Realtime display HDR: the group-interleaved composed resolve when
         resolve_groups > 1 (1/K of the scan+rotate cost per frame, bounded
         angular lag — see the resolve_groups comment), else exact."""
+        return self.display_hdr_for(0)
+
+    def display_hdr_for(self, tracer: int) -> jax.Array:
         if self.resolve_groups > 1:
             # One refresh per traced frame no matter how many reads.
-            if getattr(self, "_group_frame", -1) != self.iterations_since_clear:
-                self._group_frame = self.iterations_since_clear
-                self._group_display = to_hdr(
-                    self._display_raw_rate(), jnp.float32(1.0),
+            if self._group_frame.get(tracer, -1) != self.iterations_since_clear:
+                self._group_frame[tracer] = self.iterations_since_clear
+                self._group_display[tracer] = to_hdr(
+                    self._display_raw_rate(tracer), jnp.float32(1.0),
                     self.gbuffer, self.finalize_outscatter)
-            return self._group_display
-        return self.output_hdr
+            return self._group_display[tracer]
+        return self.output_hdr_for(tracer)
 
 
 class BackwardIntegrator:
@@ -533,6 +568,78 @@ def _make_forward(engine: str, finalize_outscatter: bool) -> ForwardIntegrator:
     if engine == "oracle":
         return ForwardIntegrator(finalize_outscatter=finalize_outscatter)
     raise ValueError(f"unknown engine {engine!r} (expected 'rbt' or 'oracle')")
+
+
+class PairedTracerView:
+    """One tracer's view of a SHARED paired RBT integrator (round 5).
+
+    The engine's dual-tracer design (Simulation.cs:78) runs two
+    independent tracers per frame purely for variance estimation; with the
+    native tracer axis (rbt.rbt_trace_frame n_tracers=2) both trace in ONE
+    combined batch. Two of these views duck-type LightTransportTracer over
+    one RBTForwardIntegrator(n_tracers=2): view 0 drives the shared frame
+    work (clear/trace) when Simulation steps the tracer list in order;
+    view 1's begin_trace/new_scene are no-ops. Outputs/partial-resolve
+    caches stay fully per-tracer (output_hdr_for/display_hdr_for).
+
+    Always use both views through the owning Simulation — driving view 1
+    alone traces nothing (the frame work lives on view 0).
+    """
+
+    def __init__(self, forward: RBTForwardIntegrator, idx: int):
+        self.forward = forward
+        self.idx = idx
+
+    @property
+    def gbuffer(self):
+        return self.forward.gbuffer
+
+    @gbuffer.setter
+    def gbuffer(self, gb):
+        if self.idx == 0:
+            self.forward.gbuffer = gb
+
+    @property
+    def early_radiance(self):
+        return None
+
+    @property
+    def tracer_output(self):
+        return self.forward.output_hdr_for(self.idx)
+
+    @property
+    def display_output(self):
+        return self.forward.display_hdr_for(self.idx)
+
+    @property
+    def forward_write_count(self):
+        # The shared integrator counts BOTH tracers' photons; each view
+        # reports its share so Simulation's sum over tracers stays in the
+        # same units as the unpaired engines.
+        return self.forward.write_count // self.forward.n_tracers
+
+    @property
+    def forward_photon_count(self):
+        return self.forward.photon_count // self.forward.n_tracers
+
+    def new_scene(self):
+        if self.idx == 0:
+            self.forward.clear()
+
+    def begin_trace(self, scene, key):
+        if self.idx == 0:
+            self.forward.integrate(scene, key)
+
+    def end_trace(self, importance_map=None, key=None):
+        pass
+
+
+def make_paired_light_transport(n_bins: int = 128) -> list:
+    """The 'rbt-paired' engine: two PairedTracerViews over one shared
+    RBTForwardIntegrator(n_tracers=2)."""
+    shared = RBTForwardIntegrator(finalize_outscatter=True, n_bins=n_bins,
+                                  n_tracers=2)
+    return [PairedTracerView(shared, 0), PairedTracerView(shared, 1)]
 
 
 class LightTransportTracer:

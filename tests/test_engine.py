@@ -180,3 +180,62 @@ def test_importance_map_is_consumer_driven():
     s.step()  # frame 2: schedule says no refresh (only 1/10/100)
     s.step()  # frame 3
     assert s.importance_map is not None
+
+
+def test_rbt_paired_engine_matches_rbt():
+    """engine='rbt-paired' (one combined trace, native tracer axis) is the
+    same dual-tracer estimator as engine='rbt': per-tracer outputs agree
+    with the two-instance engine statistically, the tracers differ from
+    each other (independent RNG), and the variance/convergence machinery
+    sees a real pair."""
+    import numpy as np
+
+    from litbox_tpu.engine import Mode, Simulation
+    from litbox_tpu.scene import SceneBuilder
+
+    w = 48
+
+    def build(engine):
+        b = SceneBuilder()
+        b.add_point_light((w / 2, w / 2), radius=1.0, intensity=1.5, bounces=2)
+        b.add_rect((w / 2, w / 2), (w, w), log_density=-1.2)
+        sim = Simulation(width=w, height=w, mode=Mode.REFERENCE,
+                         rays_per_frame=2048, engine=engine,
+                         measurement_interval=0, frame_limit=4, seed=3)
+        sim.set_scene(b.build(max_lights=1, max_shapes=1))
+        sim.run(max_frames=4)
+        return sim
+
+    paired = build("rbt-paired")
+    plain = build("rbt")
+    a = np.asarray(paired.tracer_a.tracer_output)
+    b_ = np.asarray(paired.tracer_b.tracer_output)
+    ref = np.asarray(plain.simulation_output_hdr)
+    mean = (a + b_) / 2
+    assert np.abs(a - b_).max() > 0          # independent tracers
+    # Same estimator: bright-region means agree within MC tolerance.
+    mask = ref > np.percentile(ref, 90)
+    np.testing.assert_allclose(mean[mask].mean(), ref[mask].mean(), rtol=0.1)
+    # Variance map is alive and finite.
+    v = np.asarray(paired.variance_map)
+    assert np.isfinite(v).all() and v.max() > 0
+    # Photon accounting matches the unpaired engine's units.
+    paired.update_performance_metrics()
+    total = sum(t.forward_photon_count for t in paired._tracers)
+    assert total == 2 * 4 * 2048
+
+
+def test_rbt_paired_rejects_hybrid():
+    import pytest as _pytest
+
+    from litbox_tpu.engine import Simulation, Strategy
+
+    sim = Simulation(width=32, height=32, strategy=Strategy.HYBRID,
+                     engine="rbt-paired")
+    from litbox_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_point_light((16, 16), radius=1.0, intensity=1.0)
+    sim.set_scene(b.build(max_lights=1, max_shapes=1))
+    with _pytest.raises(ValueError):
+        sim.step()
