@@ -58,10 +58,11 @@ class TrainConfig:
     # PRODUCTION display x + k*(d_a+d_b)/2 — with k the same per-crop
     # cross-projection blend_pair_symmetric ships — against the reference,
     # plus raw_loss_weight times the raw pair-mean output loss so the net
-    # keeps improving where k gates it out. Gradients flow through k: the
-    # net is optimized for exactly the image the engine displays.
+    # keeps improving where k gates it out. k is STOP-GRADIENTED per step
+    # (EM-style; a differentiable k let the net game the estimator —
+    # measured in _build_pair_step's comment).
     pair_composition: bool = False
-    raw_loss_weight: float = 0.25
+    raw_loss_weight: float = 0.5
 
 
 def load_train_config(checkpoint_path: str) -> TrainConfig:
@@ -163,6 +164,15 @@ class Trainer:
                 num = ((d_a - d_b) * (b - a)).sum(axes) * 0.25
                 den = (dbar * dbar).sum(axes)
                 k = jnp.clip(num / jnp.maximum(den, 1e-12), 0.0, 1.0)
+                # STOP-GRADIENT through k (r5 measured finding): with k
+                # differentiable the net games the estimator — 10 minutes
+                # of fine-tuning dropped held-out production gain from
+                # +1.21 to +0.33 dB while raw output blew up to -22 dB
+                # (runs/train_r5.log first launches). With k frozen per
+                # step the net optimizes the display UNDER the current
+                # calibration and k adapts across steps (EM-style); the
+                # raw term keeps the net anchored where k gates it out.
+                k = jax.lax.stop_gradient(k)
                 disp = x + k.reshape((-1,) + (1,) * (a.ndim - 1)) * dbar
                 loss = hdr_loss(disp, ref, cfg.loss)
                 if cfg.raw_loss_weight:

@@ -33,6 +33,39 @@ def tonemap_ue5(x: jax.Array, shape: UE5Shape = UE5Shape()) -> jax.Array:
                        jnp.log10(jnp.maximum(x, 1e-30)) + shape.exposure)
 
 
+def smoothstep_inverse(y: jax.Array) -> jax.Array:
+    """Closed-form inverse of t*t*(3-2t) on [0, 1]:
+    t = 1/2 - sin(asin(1 - 2y) / 3)."""
+    y = jnp.clip(y, 0.0, 1.0)
+    return 0.5 - jnp.sin(jnp.arcsin(1.0 - 2.0 * y) / 3.0)
+
+
+# The reference's dataset/golden PNG writer tone-maps with THESE constants
+# (TextureExtensions.SaveTexturePNG:311-350: UE5 curve, white=2, black=-3,
+# per-scene auto exposure) into an sRGB target — so a stored golden byte is
+# sRGB_encode(smoothstep(-3, 2, log10(x) + e)). GOLDEN_PNG_SHAPE is the
+# exposure-free part; the unknown per-scene exposure is a pure 10^-e scale
+# on the recovered radiance, which per-image gray-point normalization (the
+# same one training uses) absorbs.
+GOLDEN_PNG_SHAPE = UE5Shape(exposure=0.0, white_point=2.0, black_point=-3.0)
+
+
+def tonemap_ue5_inverse(y: jax.Array,
+                        shape: UE5Shape = GOLDEN_PNG_SHAPE) -> jax.Array:
+    """Invert tonemap_ue5: y in [0, 1] -> linear radiance.
+
+    Exact where the curve is invertible; clipped inputs (y = 0 or 1) pin to
+    the black/white points 10^black, 10^white — information the tonemap
+    destroyed. Used to linearize the reference's golden PNGs into the HDR
+    domain the denoiser trains on (VERDICT r4 next #4: the round-4 golden
+    eval decoded them as plain gamma, leaving the net in a domain it never
+    saw)."""
+    t = smoothstep_inverse(y)
+    logx = (shape.black_point
+            + t * (shape.white_point - shape.black_point) - shape.exposure)
+    return 10.0 ** logx
+
+
 @dataclasses.dataclass(frozen=True)
 class UchimuraShape:
     """GT tonemapper parameters (ToneMapping.cginc:24-35)."""

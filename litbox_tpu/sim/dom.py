@@ -53,9 +53,29 @@ def _forward_rotate(fields: RotatedFields, world: jax.Array,
     """Embed an (H, W, 3) world-frame map into every bin frame (D, S, S, 3).
 
     Inverse of rotate_back's per-bin sampling: bin-frame cell p' samples the
-    world map at p = R_d^T (p' - s/2) + c (zero outside the scene extent —
-    the S-embedding is vacuum there, matching precompute_rotated_fields)."""
+    world map at p = R_d(p' - s/2) + c (zero outside the scene extent —
+    the S-embedding is vacuum there, matching precompute_rotated_fields).
+
+    TPU fast path (round 5, VERDICT r4 next #9): this batch is
+    resolve-shaped — D rotations of one (S, S, 3) canvas — so it runs
+    through the Pallas 3-shear rotation (ops/rotate.rotate_bins with
+    angles +theta_d on the center-embedded map) instead of the
+    D*S^2-point tent-matmul gather that dominated the 561 ms cascade
+    refresh (runs/prof_dom_r4.log -> prof_dom_r5.log). Requires the
+    embedding offsets (s-H)/2, (s-W)/2 to be whole texels (true for every
+    production size; odd sizes fall back to the exact gather)."""
     s = fields.size
+    d = fields.n_bins
+    oy, ox = (s - height) // 2, (s - width) // 2
+    if (jax.default_backend() == "tpu" and s % 128 == 0
+            and (s - height) % 2 == 0 and (s - width) % 2 == 0):
+        from ..ops.rotate import rotate_bins
+
+        emb = jnp.zeros((s, s, 3), world.dtype)
+        emb = emb.at[oy:oy + height, ox:ox + width].set(world)
+        angles = ((jnp.arange(d, dtype=jnp.float32) + fields.phase)
+                  * (2.0 * jnp.pi / d))
+        return rotate_bins(jnp.broadcast_to(emb[None], (d, s, s, 3)), angles)
     xs = jnp.arange(s, dtype=jnp.float32) + 0.5 - s / 2.0
     rx = xs[None, None, :]
     ry = xs[None, :, None]

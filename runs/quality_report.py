@@ -149,10 +149,20 @@ def fit_prior(fn, rgb, prefixes, n_scenes: int = 10):
 
 
 def production_rows(fn, rgb, prefixes, prior=None):
-    """Per-tier production composition vs pair-mean baseline on held-out."""
+    """Per-tier production composition vs pair-mean baseline on held-out.
+
+    Columns (round 5): `gain` = exact pair composition
+    (blend_pair_symmetric, the calibration-frame display); `fast_gain` =
+    the single-pass display x + k*(net(x)-x) with the SAME pair k (what
+    the 60 FPS pipeline shows on non-calibration frames); `band_gain` =
+    blend_pair_banded (spatially-banded k, measured r5 — kept as the
+    honest no-better-than-global result unless it wins)."""
+    from litbox_tpu.nn.infer import blend_pair_banded
+
     rows = []
     for prefix in prefixes:
-        base, den, ks, raw_gain, prior_gain, prior_ks = [], [], [], [], [], []
+        base, den, ks, raw_gain, fast_gain, band_gain = [], [], [], [], [], []
+        prior_gain, prior_ks = [], []
         n = 0
         for i in held:
             got = load_pair(prefix, i)
@@ -168,6 +178,11 @@ def production_rows(fn, rgb, prefixes, prior=None):
             den.append(psnr(disp, ref, peak))
             raw_gain.append(psnr((out_a + out_b) * 0.5, ref, peak) - base[-1])
             ks.append(float(k))
+            out_x = infer_large(fn, x.astype(np.float32), rgb=rgb)
+            fast_gain.append(
+                psnr(x + float(k) * (out_x - x), ref, peak) - base[-1])
+            disp_b, _ = blend_pair_banded(out_a, out_b, a, b)
+            band_gain.append(psnr(np.asarray(disp_b), ref, peak) - base[-1])
             if prior is not None:
                 kp = float(blend_prior_lookup(prior, a, b))
                 k2 = max(float(k), kp)
@@ -181,6 +196,8 @@ def production_rows(fn, rgb, prefixes, prior=None):
             tier=prefix, n=n, base=float(np.mean(base)),
             prod=float(np.mean(den)),
             gain=float(np.mean(den) - np.mean(base)),
+            fast_gain=float(np.mean(fast_gain)),
+            band_gain=float(np.mean(band_gain)),
             raw_gain=float(np.mean(raw_gain)), k=float(np.mean(ks)),
             prior_gain=(float(np.mean(prior_gain)) if prior_gain else None),
             prior_k=(float(np.mean(prior_ks)) if prior_ks else None)))
@@ -204,22 +221,43 @@ def golden_pairs():
     return out
 
 
-def golden_eval(fn, rgb, blend_k: float = 1.0):
-    """8-bit-space golden metrics (the space the goldens exist in)."""
+def golden_eval(fn, rgb, blend_k: float = 1.0, linearize: str = "ue5"):
+    """8-bit-space golden metrics (the space the goldens exist in).
+
+    linearize='ue5' (round 5, VERDICT r4 next #4): the goldens were written
+    through the UE5 curve (white=2, black=-3, per-scene exposure) into an
+    sRGB target (TextureExtensions.SaveTexturePNG:311-350), so the eval
+    inverts THAT curve (post.tonemap.tonemap_ue5_inverse), gray-point
+    scales (absorbing the unknown exposure), denoises in the HDR domain
+    the net trained on, and re-applies curve + sRGB. 'gamma' keeps the
+    round-4 plain-gamma decode for comparison."""
     from PIL import Image
+
+    from litbox_tpu.post.tonemap import (GOLDEN_PNG_SHAPE, tonemap_ue5,
+                                         tonemap_ue5_inverse)
 
     rows = []
     for name, ap, bp in golden_pairs():
         noisy = np.asarray(Image.open(ap).convert("RGB"), np.float32)
         ref = np.asarray(Image.open(bp).convert("RGB"), np.float32)
-        lin = (noisy / 255.0) ** 2.2
-        out = infer_large(fn, lin.astype(np.float32), rgb=rgb, blend=blend_k)
-        den = np.clip(np.clip(out, 0, None) ** (1 / 2.2) * 255.0, 0, 255)
+        y = (noisy / 255.0) ** 2.2
+        if linearize == "ue5":
+            hdr = np.asarray(tonemap_ue5_inverse(y))
+            s = 0.18 / max(float(hdr.mean()), 1e-9)
+            out = infer_large(fn, (hdr * s).astype(np.float32), rgb=rgb,
+                              blend=blend_k) / s
+            y_out = np.asarray(tonemap_ue5(np.clip(out, 1e-30, None),
+                                           GOLDEN_PNG_SHAPE))
+            den = np.clip(y_out ** (1 / 2.2) * 255.0, 0, 255)
+        else:
+            out = infer_large(fn, y.astype(np.float32), rgb=rgb,
+                              blend=blend_k)
+            den = np.clip(np.clip(out, 0, None) ** (1 / 2.2) * 255.0, 0, 255)
         rows.append(dict(
             pair=name,
             b_psnr=psnr(noisy, ref, 255.0), b_ssim=ssim_np(noisy / 255, ref / 255),
             d_psnr=psnr(den, ref, 255.0), d_ssim=ssim_np(den / 255, ref / 255)))
-        print("golden", rows[-1], flush=True)
+        print("golden", linearize, rows[-1], flush=True)
     return rows
 
 
@@ -277,15 +315,24 @@ def main():
     def table(title, prefixes):
         w(f"## {title}")
         w("")
-        w("| tier | n | pair-mean dB | production dB | gain | +prior gain (diagnostic) "
-          "| raw-net gain | mean k | mean k+prior |")
-        w("|---|---|---|---|---|---|---|---|---|")
+        w("| tier | n | pair-mean dB | production dB | gain | fast-display "
+          "gain | banded gain | +prior gain (diagnostic) "
+          "| raw-net gain | mean k |")
+        w("|---|---|---|---|---|---|---|---|---|---|")
         rows = production_rows(fn, rgb, prefixes, prior=prior)
         for r in rows:
             w(f"| {r['tier']} | {r['n']} | {r['base']:.2f} | "
               f"{r['prod']:.2f} | **{r['gain']:+.2f}** | "
-              f"**{r['prior_gain']:+.2f}** | {r['raw_gain']:+.2f} | "
-              f"{r['k']:.2f} | {r['prior_k']:.2f} |")
+              f"{r['fast_gain']:+.2f} | {r['band_gain']:+.2f} | "
+              f"{r['prior_gain']:+.2f} | {r['raw_gain']:+.2f} | "
+              f"{r['k']:.2f} |")
+        w("")
+        w("`fast-display` = the single-UNet-pass composition "
+          "x + k*(net(x)-x) shown on non-calibration frames of the 60 FPS "
+          "pipeline (same pair-calibrated k; runs/bench_1080p.py "
+          "--pair-fast); `banded` = blend_pair_banded per-band k "
+          "(runs/eval_banded.py established the oracle headroom is "
+          "common-mode, not spatial).")
         w("")
         return rows
 
@@ -309,24 +356,35 @@ def main():
         w("## Reference goldens (checkpoint_tests, 8-bit PNG space)")
         w("")
         kg = fit_global_blend(fn, rgb)
-        w(f"Raw net (k=1) and blended (global k={kg:.2f} fit on training "
-          f"scenes — goldens are single images, so the per-frame pair "
-          f"calibration does not apply). EXR tiers are LFS stubs in this "
-          f"snapshot; PNG tiers are real (BASELINE.md).")
+        w(f"Round 5 evaluates in the goldens' TRUE domain: the PNGs were "
+          f"written through the UE5 curve (white=2, black=-3, per-scene "
+          f"exposure; TextureExtensions.SaveTexturePNG:311-350) into sRGB, "
+          f"so the eval inverts that exact curve, denoises in linear HDR "
+          f"(gray-point scaled), and re-applies it. The round-4 plain-gamma "
+          f"column is kept to show the domain-mismatch cost. Raw net (k=1) "
+          f"and blended (global k={kg:.2f} fit on training scenes — goldens "
+          f"are single images, so the per-frame pair calibration does not "
+          f"apply). EXR tiers are LFS stubs in this snapshot; PNG tiers are "
+          f"real (BASELINE.md).")
         w("")
-        rows_raw = golden_eval(fn, rgb, 1.0)
-        rows_bl = golden_eval(fn, rgb, kg) if abs(kg - 1.0) > 1e-3 else rows_raw
-        w("| pair | baseline dB / SSIM | raw net dB / SSIM | blended dB / SSIM |")
-        w("|---|---|---|---|")
-        for rr, rb in zip(rows_raw, rows_bl):
+        rows_raw = golden_eval(fn, rgb, 1.0, linearize="ue5")
+        rows_bl = (golden_eval(fn, rgb, kg, linearize="ue5")
+                   if abs(kg - 1.0) > 1e-3 else rows_raw)
+        rows_g = golden_eval(fn, rgb, 1.0, linearize="gamma")
+        w("| pair | baseline dB / SSIM | raw net dB / SSIM | "
+          "blended dB / SSIM | r4 gamma-domain raw dB / SSIM |")
+        w("|---|---|---|---|---|")
+        for rr, rb, rg in zip(rows_raw, rows_bl, rows_g):
             w(f"| {rr['pair']} | {rr['b_psnr']:.2f} / {rr['b_ssim']:.3f} | "
               f"{rr['d_psnr']:.2f} / {rr['d_ssim']:.3f} | "
-              f"{rb['d_psnr']:.2f} / {rb['d_ssim']:.3f} |")
+              f"{rb['d_psnr']:.2f} / {rb['d_ssim']:.3f} | "
+              f"{rg['d_psnr']:.2f} / {rg['d_ssim']:.3f} |")
         mean = lambda rows, k: float(np.mean([r[k] for r in rows]))
         w(f"| **mean** | {mean(rows_raw,'b_psnr'):.2f} / "
           f"{mean(rows_raw,'b_ssim'):.3f} | {mean(rows_raw,'d_psnr'):.2f} / "
           f"{mean(rows_raw,'d_ssim'):.3f} | {mean(rows_bl,'d_psnr'):.2f} / "
-          f"{mean(rows_bl,'d_ssim'):.3f} |")
+          f"{mean(rows_bl,'d_ssim'):.3f} | {mean(rows_g,'d_psnr'):.2f} / "
+          f"{mean(rows_g,'d_ssim'):.3f} |")
         w("")
 
         # ---- bf16 spot check (production display precision) ----

@@ -94,12 +94,12 @@ def stage_arrays(prefix: str, use_ids: list):
 SMOKE = "--smoke" in sys.argv
 UNET = int(os.environ.get("LITBOX_TRAIN_UNET", "4"))
 FEATS = int(os.environ.get("LITBOX_TRAIN_FEATS", "16"))
-LR = float(os.environ.get("LITBOX_TRAIN_LR", "5e-5"))
+LR = float(os.environ.get("LITBOX_TRAIN_LR", "1.5e-5"))
 BATCH = int(os.environ.get("LITBOX_TRAIN_BATCH", "16"))
 PAD = os.environ.get("LITBOX_TRAIN_PAD", "reflect")
 CROP = 64 if SMOKE else int(os.environ.get("LITBOX_TRAIN_CROP", "192"))
 LOG_L1 = float(os.environ.get("LITBOX_TRAIN_LOGL1", "0.25"))
-RAW_W = float(os.environ.get("LITBOX_TRAIN_RAW_W", "0.25"))
+RAW_W = float(os.environ.get("LITBOX_TRAIN_RAW_W", "0.5"))
 WARM = ("" if "--fresh" in sys.argv else os.environ.get(
     "LITBOX_TRAIN_WARM", "/root/repo/runs/denoiser_r4_rgb/model_best.npz"))
 SEC_PER_STEP = 0.12 if not SMOKE else 0.5  # pair step = 2x batch through the net
@@ -204,15 +204,21 @@ budget = minutes * 60
 
 CUTS = (0.10, 0.20, 0.32)
 RT_WEIGHTS = tuple([0.1, 0.1, 0.2] + [0.6 / max(len(RT), 1)] * len(RT))
+# Fine-tune mode (default ON when warm-starting): the warm-started net
+# already knows the accumulated tiers — re-running the Easy->Final ramp
+# with a hot LR measurably destroyed the r4 quality before relearning it
+# (first r5 launch: +1.21 -> +0.21 in 600 s). Mix all tiers from step 0.
+MIX_FROM_START = os.environ.get("LITBOX_TRAIN_MIX", "1") == "1"
 
 
 def active_stage() -> str:
     f = (time.time() - t0) / budget
     if not have_rt:
         return ("Easy" if f < 0.3 else "Medium" if f < 0.6 else "Final")
-    for idx, c in enumerate(CUTS):
-        if f < c:
-            return stage_names[idx]
+    if not MIX_FROM_START:
+        for idx, c in enumerate(CUTS):
+            if f < c:
+                return stage_names[idx]
     return stage_names[int(rng.choice(len(stage_names), p=RT_WEIGHTS))]
 
 

@@ -135,3 +135,51 @@ def test_dom_integrator_mode_matches_mc(medium_scene):
     # DOM's bounce field is deterministic: two dom runs agree exactly.
     dom2 = run(True)
     np.testing.assert_allclose(dom, dom2, rtol=1e-6, atol=1e-8)
+
+
+def test_forward_rotate_shear_matches_gather():
+    """The r5 TPU fast path of dom._forward_rotate (Pallas 3-shear
+    rotate_bins on the center-embedded map) must match the exact
+    tent-matmul gather it replaces (interpret mode; smooth map, interior
+    tolerance — the shear path's border handling differs by <= 1 texel)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from litbox_tpu.ops.rotate import rotate_bins
+    from litbox_tpu.scene import SceneBuilder, rasterize
+    from litbox_tpu.sim import rbt
+    from litbox_tpu.sim.dom import _forward_rotate
+
+    w = h = 64
+    b = SceneBuilder()
+    b.add_point_light((w / 2, h / 2), radius=1.0, intensity=1.0)
+    scene = b.build(max_lights=1, max_shapes=1)
+    gb = rasterize(scene, h, w)
+    fields = rbt.precompute_rotated_fields(gb, n_bins=8, rot_size=128)
+    s, d = fields.size, fields.n_bins
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    world = jnp.asarray(np.stack([
+        np.exp(-((xx - 20) ** 2 + (yy - 40) ** 2) / 200.0),
+        np.exp(-((xx - 44) ** 2 + (yy - 24) ** 2) / 300.0),
+        0.5 + 0.4 * np.sin(xx / 9.0) * np.cos(yy / 11.0)], -1))
+
+    ref = np.asarray(_forward_rotate(fields, world, h, w))  # gather (CPU)
+
+    oy, ox = (s - h) // 2, (s - w) // 2
+    emb = jnp.zeros((s, s, 3)).at[oy:oy + h, ox:ox + w].set(world)
+    angles = ((jnp.arange(d, dtype=jnp.float32) + fields.phase)
+              * (2.0 * jnp.pi / d))
+    fast = np.asarray(rotate_bins(jnp.broadcast_to(emb[None], (d, s, s, 3)),
+                                  angles))
+
+    # Compare where the gather found non-vacuum (interior of the rotated
+    # footprint), eroded by one texel to exclude border-interp differences.
+    mask = ref.sum(-1) > 1e-6
+    er = mask.copy()
+    er[1:] &= mask[:-1]; er[:-1] &= mask[1:]
+    er[:, 1:] &= mask[:, :-1]; er[:, :-1] &= mask[:, 1:]
+    diff = np.abs(fast - ref)[er]
+    assert diff.max() < 5e-2, diff.max()
+    np.testing.assert_allclose(fast[er].mean(), ref[er].mean(), rtol=1e-2)
