@@ -131,9 +131,20 @@ def fit_blend(run_mono, pairs, rgb: bool = False, tile: int = 256,
     return float(np.clip(num / max(den, 1e-12), 0.0, 1.0))
 
 
-def blend_pair_symmetric(out_a, out_b, a, b, eps: float = 1e-12):
+def blend_pair_symmetric(out_a, out_b, a, b, eps: float = 1e-12,
+                         k_floor: float = 0.0):
     """Production auto-blend: denoise BOTH tracers, display the k-blended
     pair mean. Returns (display, k).
+
+    k_floor (round 5): k = max(k_estimate, k_floor). The per-frame
+    estimator is structurally blind to common-mode corrections (they
+    cancel in d_a - d_b), so real fixes can earn k = 0; a floor recovers
+    that credit. A floor is only safe with a net whose correction
+    vanishes on clean inputs — the r5 identity-augmented training
+    (device_data.sample_batch_pair identity_p) exists exactly to make
+    dbar ~ 0 on converged scenes so the floored term cannot hurt them.
+    The shipped floor value is whatever QUALITY.md measured best on
+    training tiers; 0 reproduces the r4 pure calibration.
 
     Let a = ref + e_a, b = ref + e_b with independent zero-mean noise, and
     d_i = net(i) - i. The displayed image is
@@ -164,8 +175,10 @@ def blend_pair_symmetric(out_a, out_b, a, b, eps: float = 1e-12):
     x = (a + b) * 0.5
     if isinstance(num, np.ndarray) or np.isscalar(num):
         k = float(np.clip(num / max(float(den), eps), 0.0, 1.0))
+        k = max(k, k_floor)
     else:
-        k = jnp.clip(num / jnp.maximum(den, eps), 0.0, 1.0)
+        k = jnp.maximum(jnp.clip(num / jnp.maximum(den, eps), 0.0, 1.0),
+                        k_floor)
     return x + k * dbar, k
 
 

@@ -60,6 +60,18 @@ class HdrLossConfig:
     # so the gradient signal is outlier-gated. log1p keeps darks linear
     # (log2(1+x) ~ x/ln2 for small x) while compressing spikes to O(10).
     compress: str = "none"
+    # Weight of a bounded RELATIVE L2 term on the UNCOMPRESSED values:
+    #   mean(((pred - target) / (target + rel_eps))^2).
+    # Round-5 finding: with log-space global_residual the net's errors are
+    # MULTIPLICATIVE (out = x * exp(f)), and log-compressed terms barely
+    # see a x17 amplification of a bright pixel while linear PSNR — the
+    # quality metric — is dominated by it (held-out converged scene at
+    # raw -75 dB from 680 bright pixels). The ratio form penalizes
+    # multiplicative error directly yet stays BOUNDED when the target is
+    # a spike and the prediction reasonable (<= 1), so it cannot re-open
+    # the r4 linear-loss instability.
+    rel_l2: float = 0.0
+    rel_eps: float = 1.0
 
 
 def hdr_loss(pred: jax.Array, target: jax.Array,
@@ -84,6 +96,10 @@ def hdr_loss(pred: jax.Array, target: jax.Array,
 
     l1 = jnp.mean(jnp.abs(pred - target))
     loss = adaptive_l2 + cfg.beta * gradient + cfg.gamma * l1
+    if cfg.rel_l2:
+        rel = (raw_pred - raw_target) / (jnp.maximum(raw_target, 0.0)
+                                         + cfg.rel_eps)
+        loss = loss + cfg.rel_l2 * jnp.mean(rel * rel)
     if cfg.log_l1:
         rel = jnp.abs(jnp.log2(jnp.maximum(raw_pred, 0.0) + cfg.log_eps)
                       - jnp.log2(jnp.maximum(raw_target, 0.0) + cfg.log_eps))

@@ -99,7 +99,11 @@ BATCH = int(os.environ.get("LITBOX_TRAIN_BATCH", "16"))
 PAD = os.environ.get("LITBOX_TRAIN_PAD", "reflect")
 CROP = 64 if SMOKE else int(os.environ.get("LITBOX_TRAIN_CROP", "192"))
 LOG_L1 = float(os.environ.get("LITBOX_TRAIN_LOGL1", "0.25"))
+REL_L2 = float(os.environ.get("LITBOX_TRAIN_RELL2", "1.0"))
 RAW_W = float(os.environ.get("LITBOX_TRAIN_RAW_W", "0.5"))
+# Identity augmentation (see device_data.sample_batch_pair): the measured
+# fix for converged-scene hallucination (held-out 00024 raw -73 dB).
+ID_P = float(os.environ.get("LITBOX_TRAIN_IDP", "0.15"))
 WARM = ("" if "--fresh" in sys.argv else os.environ.get(
     "LITBOX_TRAIN_WARM", "/root/repo/runs/denoiser_r4_rgb/model_best.npz"))
 SEC_PER_STEP = 0.12 if not SMOKE else 0.5  # pair step = 2x batch through the net
@@ -115,7 +119,7 @@ cfg = TrainConfig(unet_size=3 if SMOKE else UNET,
                   rgb=True, padding_mode=PAD,
                   pair_composition=True, raw_loss_weight=RAW_W,
                   loss=HdrLossConfig(normalize_weights=True, log_l1=LOG_L1,
-                                     compress="log1p"),
+                                     rel_l2=REL_L2, compress="log1p"),
                   transform=TransformConfig(use_log_space=True,
                                             normalize_input=True))
 trainer = Trainer(cfg)
@@ -230,7 +234,8 @@ while time.time() - t0 < budget:
     loss = None
     for _ in range(20):
         a, b, ref = dev.sample_pair(name, jax.random.fold_in(base_key, step),
-                                    cfg.batch_size, CROP, True)
+                                    cfg.batch_size, CROP, True,
+                                    identity_p=ID_P)
         loss = trainer.train_batch_pair_async(a, b, ref)
         step += 1
     print(f"{time.time()-t0:7.1f}s step {step} [{name}] "

@@ -521,12 +521,13 @@ def test_resolve_groups_setter():
     with pytest.raises(ValueError):
         integ.resolve_groups = 0
     integ.resolve_groups = 4
-    integ._group_rate[(None, 0)] = "stale"
-    integ._group_sum = "stale"
-    integ._group_next = 7
+    integ._group_rate[(0, None, 0)] = "stale"
+    integ._group_sum[0] = "stale"
+    integ._group_next[0] = 7
     integ.resolve_groups = 8  # partition changed -> caches reset
-    assert integ._group_rate == {} and integ._group_sum is None
-    assert integ._group_next == 0 and integ._group_display is None
+    # Grouped state is per-tracer dicts since the r5 tracer axis.
+    assert integ._group_rate == {} and integ._group_sum == {}
+    assert integ._group_next == {} and integ._group_display == {}
 
 
 # ---------- native tracer axis (round 5: rbt_trace_frame n_tracers) ----------
