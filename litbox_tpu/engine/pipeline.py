@@ -142,12 +142,20 @@ class AIAccelerator:
             # Same two UNet passes as before, but calibration and display now
             # use the same residual (ADVICE r3 #1) and both passes contribute
             # to the displayed image. One fused jit; k costs two dot products.
-            from ..nn.infer import blend_pair_symmetric, blend_prior_lookup
+            from ..nn.infer import (PRODUCTION_FLOOR_GATE,
+                                    PRODUCTION_K_FLOOR,
+                                    blend_pair_symmetric,
+                                    blend_prior_lookup)
 
             def run_auto(variables, a, b):
                 out_a, out_b = denoise_pair_hdr(self.model, variables, a, b,
                                                 self.transform)
-                disp, k = blend_pair_symmetric(out_a, out_b, a, b)
+                # Round 5: the shipped composition floors k at the
+                # measured PRODUCTION_K_FLOOR behind the noise-evidence
+                # gate (see nn.infer constants for the sweep numbers).
+                disp, k = blend_pair_symmetric(
+                    out_a, out_b, a, b, k_floor=PRODUCTION_K_FLOOR,
+                    floor_gate=PRODUCTION_FLOOR_GATE)
                 if self.blend_prior is not None:
                     kp = blend_prior_lookup(self.blend_prior, a, b)
                     k2 = jnp.maximum(k, kp)

@@ -131,8 +131,22 @@ def fit_blend(run_mono, pairs, rgb: bool = False, tile: int = 256,
     return float(np.clip(num / max(den, 1e-12), 0.0, 1.0))
 
 
+# The SHIPPED production floor (round 5, measured in runs/eval_floor_r5.py
+# sweeps committed in NOTES_ROUND5.md): k_floor=0.5 gated at
+# sigma_rel^2 > 1e-4. Chosen on TRAINING scenes (gated 0.5: means
+# +3.4/+3.0/+2.4/+1.2 across tiers, two accumulated scenes at -0.39/-0.51
+# worst), validated on HELD-OUT (RT0 +2.70, RT1 +2.43, Input1 +1.90,
+# Input0 +1.13 vs the pure calibration's +1.28/+0.66/+0.62/+0.72 -
+# ZERO held-out scene regressions). The gate separates the converged
+# failure class by 4+ orders of magnitude (held-out converged scene
+# s2 = 2e-8 vs noisy scenes >= 1e-4; ungated floors lose 60+ dB there).
+PRODUCTION_K_FLOOR = 0.5
+PRODUCTION_FLOOR_GATE = 1e-4
+
+
 def blend_pair_symmetric(out_a, out_b, a, b, eps: float = 1e-12,
-                         k_floor: float = 0.0):
+                         k_floor: float = 0.0,
+                         floor_gate: float | None = None):
     """Production auto-blend: denoise BOTH tracers, display the k-blended
     pair mean. Returns (display, k).
 
@@ -145,6 +159,14 @@ def blend_pair_symmetric(out_a, out_b, a, b, eps: float = 1e-12,
     dbar ~ 0 on converged scenes so the floored term cannot hurt them.
     The shipped floor value is whatever QUALITY.md measured best on
     training tiers; 0 reproduces the r4 pure calibration.
+
+    floor_gate: if set, the floor only applies when the observable pair
+    disagreement sigma_rel^2 = mean|a-b|^2 / mean(x^2) exceeds the gate —
+    a converged pair (a ~ b) keeps the pure calibration, so flooring can
+    never touch scenes with no noise evidence. This is a HARD conservative
+    gate, not the r4 prior's interpolated noise-indexed k (which lost
+    6+ dB by transferring k across the noise axis; the gate only ever
+    DISABLES the floor).
 
     Let a = ref + e_a, b = ref + e_b with independent zero-mean noise, and
     d_i = net(i) - i. The displayed image is
@@ -175,10 +197,18 @@ def blend_pair_symmetric(out_a, out_b, a, b, eps: float = 1e-12,
     x = (a + b) * 0.5
     if isinstance(num, np.ndarray) or np.isscalar(num):
         k = float(np.clip(num / max(float(den), eps), 0.0, 1.0))
-        k = max(k, k_floor)
+        floor = k_floor
+        if floor_gate is not None:
+            s2 = float(((a - b) ** 2).mean()) / max(float((x * x).mean()), eps)
+            floor = k_floor if s2 > floor_gate else 0.0
+        k = max(k, floor)
     else:
-        k = jnp.maximum(jnp.clip(num / jnp.maximum(den, eps), 0.0, 1.0),
-                        k_floor)
+        k = jnp.clip(num / jnp.maximum(den, eps), 0.0, 1.0)
+        floor = jnp.float32(k_floor)
+        if floor_gate is not None:
+            s2 = ((a - b) ** 2).mean() / jnp.maximum((x * x).mean(), eps)
+            floor = jnp.where(s2 > floor_gate, floor, 0.0)
+        k = jnp.maximum(k, floor)
     return x + k * dbar, k
 
 

@@ -134,9 +134,15 @@ def ssim(a: jax.Array, b: jax.Array, window_size: int = 11) -> jax.Array:
 def _conv_win(x: jax.Array, w: jax.Array) -> jax.Array:
     c = x.shape[-1]
     kernel = jnp.tile(w[:, :, None, None], (1, 1, 1, c))
+    # HIGHEST precision: TPU convs default to bf16 inputs, and SSIM's
+    # E[x^2] - E[x]^2 cancellation amplifies that rounding into negative
+    # "variances" and garbage scores (r5: a golden pair measured SSIM
+    # -0.108 on TPU vs 0.222 on CPU for identical images). The metric
+    # must be exact; perf is irrelevant at metric callsites.
     return jax.lax.conv_general_dilated(
         x, kernel, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def psnr(a: jax.Array, b: jax.Array, peak: float = 1.0) -> jax.Array:

@@ -316,7 +316,7 @@ def main():
     @functools.partial(jax.jit, donate_argnames=("src2", "cache"))
     def frame_step_pair_native(fields, src2, cache, gb, lights, ftex, brdf,
                                key, r, model_vars):
-        from litbox_tpu.nn.infer import blend_pair_symmetric
+        from litbox_tpu.nn.infer import (PRODUCTION_FLOOR_GATE, PRODUCTION_K_FLOOR, blend_pair_symmetric)
 
         src2 = trace_pair(fields, src2, gb, lights, ftex, brdf, key)
         if GROUPS > 1:
@@ -328,7 +328,7 @@ def main():
         hdr_a = to_hdr(raw_a, iters, gb, finalize_outscatter=True)
         hdr_b = to_hdr(raw_b, iters, gb, finalize_outscatter=True)
         out_a, out_b = denoise_pair(hdr_a, hdr_b, model_vars)
-        disp, k = blend_pair_symmetric(out_a, out_b, hdr_a, hdr_b)
+        disp, k = blend_pair_symmetric(out_a, out_b, hdr_a, hdr_b, k_floor=PRODUCTION_K_FLOOR, floor_gate=PRODUCTION_FLOOR_GATE)
         pix = tonemap_uchimura(upsample(disp) * 0.5,
                                UchimuraShape())[0, 0, 0]
         return src2, cache, pix + 0.0 * k
@@ -366,7 +366,7 @@ def main():
     def frame_step_pair_fast(fields, src2, cache, pend_flat, pend_vals,
                              k_prev, gb, lights, ftex, brdf, key, r,
                              model_vars):
-        from litbox_tpu.nn.infer import blend_pair_symmetric
+        from litbox_tpu.nn.infer import (PRODUCTION_FLOOR_GATE, PRODUCTION_K_FLOOR, blend_pair_symmetric)
 
         flat, vals, _ = frame_deposits(fields, gb, lights, ftex, brdf, key)
         slot = r % FLUSH_K
@@ -386,7 +386,7 @@ def main():
             hdr_a = to_hdr(raw_a, iters, gb, finalize_outscatter=True)
             hdr_b = to_hdr(raw_b, iters, gb, finalize_outscatter=True)
             out_a, out_b = denoise_pair(hdr_a, hdr_b, model_vars)
-            disp, k = blend_pair_symmetric(out_a, out_b, hdr_a, hdr_b)
+            disp, k = blend_pair_symmetric(out_a, out_b, hdr_a, hdr_b, k_floor=PRODUCTION_K_FLOOR, floor_gate=PRODUCTION_FLOOR_GATE)
             return disp, k
 
         def fast(_):
@@ -465,7 +465,7 @@ def main():
         "src_a", "src_b", "cache_a", "cache_b"))
     def frame_step_pair(fields, src_a, src_b, cache_a, cache_b, gb, lights,
                         ftex, brdf, key, r, model_vars):
-        from litbox_tpu.nn.infer import blend_pair_symmetric
+        from litbox_tpu.nn.infer import (PRODUCTION_FLOOR_GATE, PRODUCTION_K_FLOOR, blend_pair_symmetric)
 
         ka, kb = jax.random.split(key)
         src_a = trace_half(fields, src_a, gb, lights, ftex, brdf, ka)
@@ -480,7 +480,7 @@ def main():
         hdr_a = to_hdr(raw_a, iters, gb, finalize_outscatter=True)
         hdr_b = to_hdr(raw_b, iters, gb, finalize_outscatter=True)
         out_a, out_b = denoise_pair(hdr_a, hdr_b, model_vars)
-        disp, k = blend_pair_symmetric(out_a, out_b, hdr_a, hdr_b)
+        disp, k = blend_pair_symmetric(out_a, out_b, hdr_a, hdr_b, k_floor=PRODUCTION_K_FLOOR, floor_gate=PRODUCTION_FLOOR_GATE)
         pix = tonemap_uchimura(upsample(disp) * 0.5,
                                UchimuraShape())[0, 0, 0]
         return src_a, src_b, cache_a, cache_b, pix + 0.0 * k
@@ -496,7 +496,7 @@ def main():
         "src2", "cache_a", "cache_b"))
     def frame_step_pair_vmap(fields, src2, cache_a, cache_b, gb, lights,
                              ftex, brdf, key, r, model_vars):
-        from litbox_tpu.nn.infer import blend_pair_symmetric
+        from litbox_tpu.nn.infer import (PRODUCTION_FLOOR_GATE, PRODUCTION_K_FLOOR, blend_pair_symmetric)
 
         keys = jnp.stack(jax.random.split(key))
         src2 = jax.vmap(
@@ -514,7 +514,7 @@ def main():
         hdr_a = to_hdr(raw_a, iters, gb, finalize_outscatter=True)
         hdr_b = to_hdr(raw_b, iters, gb, finalize_outscatter=True)
         out_a, out_b = denoise_pair(hdr_a, hdr_b, model_vars)
-        disp, k = blend_pair_symmetric(out_a, out_b, hdr_a, hdr_b)
+        disp, k = blend_pair_symmetric(out_a, out_b, hdr_a, hdr_b, k_floor=PRODUCTION_K_FLOOR, floor_gate=PRODUCTION_FLOOR_GATE)
         pix = tonemap_uchimura(upsample(disp) * 0.5,
                                UchimuraShape())[0, 0, 0]
         return src2, cache_a, cache_b, pix + 0.0 * k
@@ -594,12 +594,12 @@ def main():
 
         @jax.jit
         def display_pair_once(raw_a, raw_b, gb, model_vars):
-            from litbox_tpu.nn.infer import blend_pair_symmetric
+            from litbox_tpu.nn.infer import (PRODUCTION_FLOOR_GATE, PRODUCTION_K_FLOOR, blend_pair_symmetric)
 
             hdr_a = to_hdr(raw_a, jnp.float32(1.0), gb, finalize_outscatter=True)
             hdr_b = to_hdr(raw_b, jnp.float32(1.0), gb, finalize_outscatter=True)
             out_a, out_b = denoise_pair(hdr_a, hdr_b, model_vars)
-            disp, k = blend_pair_symmetric(out_a, out_b, hdr_a, hdr_b)
+            disp, k = blend_pair_symmetric(out_a, out_b, hdr_a, hdr_b, k_floor=PRODUCTION_K_FLOOR, floor_gate=PRODUCTION_FLOOR_GATE)
             return tonemap_uchimura(upsample(disp) * 0.5,
                                     UchimuraShape())[0, 0, 0] + 0.0 * k
 

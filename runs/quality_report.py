@@ -38,6 +38,8 @@ import numpy as np
 
 from litbox_tpu.io.images import read_image_linear
 from litbox_tpu.nn.infer import (
+    PRODUCTION_FLOOR_GATE,
+    PRODUCTION_K_FLOOR,
     blend_pair_symmetric,
     blend_prior_lookup,
     fit_blend,
@@ -162,7 +164,7 @@ def production_rows(fn, rgb, prefixes, prior=None):
     rows = []
     for prefix in prefixes:
         base, den, ks, raw_gain, fast_gain, band_gain = [], [], [], [], [], []
-        prior_gain, prior_ks = [], []
+        nofloor_gain, prior_gain, prior_ks = [], [], []
         n = 0
         for i in held:
             got = load_pair(prefix, i)
@@ -172,10 +174,14 @@ def production_rows(fn, rgb, prefixes, prior=None):
             peak = max(float(ref.max()), 1e-6)
             out_a = infer_large(fn, a, rgb=rgb)
             out_b = infer_large(fn, b, rgb=rgb)
-            disp, k = blend_pair_symmetric(out_a, out_b, a, b)
+            disp, k = blend_pair_symmetric(
+                out_a, out_b, a, b, k_floor=PRODUCTION_K_FLOOR,
+                floor_gate=PRODUCTION_FLOOR_GATE)
+            disp_nofloor, k_nf = blend_pair_symmetric(out_a, out_b, a, b)
             x = (a + b) * 0.5
             base.append(psnr(x, ref, peak))
             den.append(psnr(disp, ref, peak))
+            nofloor_gain.append(psnr(disp_nofloor, ref, peak) - base[-1])
             raw_gain.append(psnr((out_a + out_b) * 0.5, ref, peak) - base[-1])
             ks.append(float(k))
             out_x = infer_large(fn, x.astype(np.float32), rgb=rgb)
@@ -196,6 +202,7 @@ def production_rows(fn, rgb, prefixes, prior=None):
             tier=prefix, n=n, base=float(np.mean(base)),
             prod=float(np.mean(den)),
             gain=float(np.mean(den) - np.mean(base)),
+            nofloor_gain=float(np.mean(nofloor_gain)),
             fast_gain=float(np.mean(fast_gain)),
             band_gain=float(np.mean(band_gain)),
             raw_gain=float(np.mean(raw_gain)), k=float(np.mean(ks)),
@@ -292,7 +299,12 @@ def main():
       f"{len(held)} held-out (k % 8 == 7, never trained on)")
     w("- production inference = `AIAccelerator(blend='auto')`: denoise BOTH "
       "tracers, display pair mean + k*(d_a+d_b)/2 with k cross-calibrated "
-      "per frame (`nn.infer.blend_pair_symmetric`). Baselines are the "
+      "per frame AND floored at the measured noise-gated production floor "
+      "(round 5: k = max(k_est, 0.5) when the pair shows noise evidence "
+      "sigma_rel^2 > 1e-4, else the pure estimate — "
+      "`nn.infer.blend_pair_symmetric(k_floor=PRODUCTION_K_FLOOR, "
+      "floor_gate=PRODUCTION_FLOOR_GATE)`; floor chosen on TRAINING "
+      "scenes, runs/eval_floor_r5.py). Baselines are the "
       "pair MEAN (what the engine displays without the net) — a ~3 dB "
       "higher bar than the single-tracer baselines quoted before r4.")
     w("")
@@ -315,19 +327,24 @@ def main():
     def table(title, prefixes):
         w(f"## {title}")
         w("")
-        w("| tier | n | pair-mean dB | production dB | gain | fast-display "
-          "gain | banded gain | +prior gain (diagnostic) "
-          "| raw-net gain | mean k |")
-        w("|---|---|---|---|---|---|---|---|---|---|")
+        w("| tier | n | pair-mean dB | production dB | gain | no-floor "
+          "gain (r4 mode) | fast-display gain | banded gain | "
+          "+prior gain (diagnostic) | raw-net gain | mean k |")
+        w("|---|---|---|---|---|---|---|---|---|---|---|")
         rows = production_rows(fn, rgb, prefixes, prior=prior)
         for r in rows:
             w(f"| {r['tier']} | {r['n']} | {r['base']:.2f} | "
               f"{r['prod']:.2f} | **{r['gain']:+.2f}** | "
+              f"{r['nofloor_gain']:+.2f} | "
               f"{r['fast_gain']:+.2f} | {r['band_gain']:+.2f} | "
               f"{r['prior_gain']:+.2f} | {r['raw_gain']:+.2f} | "
               f"{r['k']:.2f} |")
         w("")
-        w("`fast-display` = the single-UNet-pass composition "
+        w("`production` = blend_pair_symmetric with the SHIPPED "
+          "noise-gated k floor (nn.infer.PRODUCTION_K_FLOOR=0.5 behind "
+          "PRODUCTION_FLOOR_GATE=1e-4, chosen on training scenes in "
+          "runs/eval_floor_r5.py); `no-floor` = the r4 pure per-frame "
+          "calibration; `fast-display` = the single-UNet-pass composition "
           "x + k*(net(x)-x) shown on non-calibration frames of the 60 FPS "
           "pipeline (same pair-calibrated k; runs/bench_1080p.py "
           "--pair-fast); `banded` = blend_pair_banded per-band k "
@@ -340,15 +357,17 @@ def main():
                ("InputRT0", "InputRT1"))
     acc = table("Accumulated profiles (held-out scenes)",
                 ("Input1", "Input0"))
-    w("`+prior` = auto-k with a noise-indexed floor fit on TRAINING scenes "
-      "(`nn.infer.fit_blend_prior`) — a DIAGNOSTIC column, not the shipped "
-      "mode: it shows what crediting common-mode corrections by pair "
-      "disagreement would do. Where negative, the damage is concentrated "
-      "in near-converged scenes whose noise index lands in a fitted "
-      "high-k bucket; the raw-net column shows the same scenes are where "
-      "the raw net loses heavily. Production ships the pure per-frame "
-      "calibration (the `gain` column), whose k collapses to 0 on exactly "
-      "those scenes.")
+    w("`+prior` = auto-k with the r4 noise-INDEXED floor fit on TRAINING "
+      "scenes (`nn.infer.fit_blend_prior`) — still a DIAGNOSTIC column and "
+      "still negative: it interpolates k across the noise axis, so "
+      "near-converged scenes inherit k from noisy buckets. The shipped r5 "
+      "floor differs in kind: a HARD gate that only ever DISABLES the "
+      "floor (sigma_rel^2 <= 1e-4 -> pure calibration), never transfers "
+      "k. The raw-net mean is dominated by ONE held-out scene whose pair "
+      "is numerically converged (sigma_rel^2 ~ 2e-8, raw -76 dB — the "
+      "gate excludes it by 4 orders of magnitude); the other 7 held-out "
+      "scenes' raw gains are POSITIVE (+1.0 to +6.0 dB on RT0, "
+      "runs/eval_floor_r5 logs in NOTES_ROUND5.md).")
     w("")
 
     # ---- goldens ----
